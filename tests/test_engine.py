@@ -1,0 +1,338 @@
+"""End-to-end engine tests through the epsilla-compatible module API.
+
+Mirrors the reference gtest matrix (/root/reference/engine/test/engine/db/
+db_server.cpp): per-metric insert+query correctness dense+sparse, filters,
+delete-by-pk, upsert, capacity errors, persistence (snapshot + WAL replay),
+facets, projection.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import vectordb_tpu as vdb
+
+
+def make_db(tmp_path, name="testdb"):
+    assert vdb.load_db(name, str(tmp_path / name)) == 0
+    vdb.use_db(name)
+    return name
+
+
+def dense_table(metric="EUCLIDEAN", name="t", dim=4):
+    vdb.create_table(name, [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "Doc", "dataType": "STRING"},
+        {"name": "Embedding", "dataType": "VECTOR_FLOAT",
+         "dimensions": dim, "metricType": metric},
+    ])
+    return name
+
+
+RECORDS = [
+    {"ID": 1, "Doc": "Berlin", "Embedding": [0.05, 0.61, 0.76, 0.74]},
+    {"ID": 2, "Doc": "London", "Embedding": [0.19, 0.81, 0.75, 0.11]},
+    {"ID": 3, "Doc": "Moscow", "Embedding": [0.36, 0.55, 0.47, 0.94]},
+    {"ID": 4, "Doc": "SF", "Embedding": [0.18, 0.01, 0.85, 0.80]},
+    {"ID": 5, "Doc": "Shanghai", "Embedding": [0.24, 0.18, 0.22, 0.44]},
+]
+
+
+class TestCRUD:
+    def test_euclidean_query(self, tmp_path):
+        make_db(tmp_path)
+        dense_table("EUCLIDEAN")
+        assert vdb.insert("t", RECORDS) == 0
+        code, res = vdb.query("t", "Embedding", [0.35, 0.55, 0.47, 0.94],
+                              ["Doc"], 2, "", True)
+        assert code == 0
+        assert [r["Doc"] for r in res] == ["Moscow", "Berlin"]
+        assert res[0]["@distance"] == pytest.approx(0.0001, abs=1e-5)
+
+    def test_cosine_query_normalized_distance(self, tmp_path):
+        make_db(tmp_path)
+        dense_table("COSINE")
+        vdb.insert("t", RECORDS)
+        q = [0.36, 0.55, 0.47, 0.94]
+        code, res = vdb.query("t", "Embedding", q, ["Doc"], 1, "", True)
+        assert code == 0
+        assert res[0]["Doc"] == "Moscow"
+        # cosine distance of identical direction is ~0
+        assert res[0]["@distance"] == pytest.approx(0.0, abs=1e-4)
+
+    def test_dot_product(self, tmp_path):
+        make_db(tmp_path)
+        dense_table("DOT_PRODUCT")
+        vdb.insert("t", RECORDS)
+        q = [1.0, 1.0, 1.0, 1.0]
+        code, res = vdb.query("t", "Embedding", q, ["Doc"], 5, "", True)
+        ips = [-sum(r["Embedding"]) for r in RECORDS]
+        want = [RECORDS[i]["Doc"] for i in np.argsort(ips)]
+        assert [r["Doc"] for r in res] == want
+
+    def test_filter_pushdown(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        code, res = vdb.query("t", "Embedding", [0.35, 0.55, 0.47, 0.94],
+                              ["Doc", "ID"], 5, "ID < 3", True)
+        assert code == 0
+        assert all(r["ID"] < 3 for r in res)
+        assert len(res) == 2
+
+    def test_string_filter_and_like(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        _, res = vdb.query("t", "Embedding", [0.0] * 4, ["Doc"], 10,
+                           "Doc LIKE '%on%'")
+        assert sorted(r["Doc"] for r in res) == ["London"]
+
+    def test_distance_filter(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        _, res = vdb.query("t", "Embedding", [0.35, 0.55, 0.47, 0.94],
+                           ["Doc"], 5, "@distance < 0.01", True)
+        assert [r["Doc"] for r in res] == ["Moscow"]
+
+    def test_delete_by_pk_and_requery(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        assert vdb.delete_by_pk("t", [3]) == 0
+        _, res = vdb.query("t", "Embedding", [0.35, 0.55, 0.47, 0.94],
+                           ["Doc"], 5)
+        assert "Moscow" not in [r["Doc"] for r in res]
+        assert len(res) == 4
+
+    def test_pk_dedup_skips(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        # Duplicate PK is skipped, not overwritten.
+        vdb.insert("t", [{"ID": 1, "Doc": "Paris",
+                          "Embedding": [1.0, 1.0, 1.0, 1.0]}])
+        _, res = vdb.get("t", ["Doc"], primary_keys=[1])
+        assert res[0]["Doc"] == "Berlin"
+
+    def test_upsert_replaces(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        vdb.insert("t", [{"ID": 1, "Doc": "Paris",
+                          "Embedding": [1.0, 1.0, 1.0, 1.0]}], upsert=True)
+        _, res = vdb.get("t", ["Doc"], primary_keys=[1])
+        assert res[0]["Doc"] == "Paris"
+        code, stats = vdb.statistics()
+        assert stats["tables"][0]["totalRecordCount"] == 5
+
+    def test_missing_field_rejected(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        code = vdb.insert("t", [{"ID": 9, "Embedding": [0.0] * 4}])
+        assert code != 0
+
+    def test_wrong_dim_skipped(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        code = vdb.insert("t", [{"ID": 9, "Doc": "x", "Embedding": [0.0] * 3}])
+        assert code == 0  # batch accepted, row skipped
+        _, res = vdb.get("t", ["ID"])
+        assert len(res) == 0
+
+    def test_capacity_error(self, tmp_path):
+        name = "capdb"
+        assert vdb.load_db(name, str(tmp_path / name), vector_scale=3) == 0
+        vdb.use_db(name)
+        dense_table()
+        code = vdb.insert("t", RECORDS)  # 5 > 3
+        assert code != 0
+
+    def test_query_dimension_mismatch(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        with pytest.raises(Exception):
+            vdb.query("t", "Embedding", [0.1, 0.2], ["Doc"], 1)
+
+    def test_default_query_field(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        code, res = vdb.query("t", "", [0.35, 0.55, 0.47, 0.94], ["Doc"], 1)
+        assert res[0]["Doc"] == "Moscow"
+
+    def test_drop_table(self, tmp_path):
+        make_db(tmp_path)
+        dense_table()
+        assert vdb.drop_table("t") == 0
+        with pytest.raises(Exception):
+            vdb.query("t", "Embedding", [0.0] * 4, ["Doc"], 1)
+
+
+class TestSparse:
+    def make(self, tmp_path, metric):
+        make_db(tmp_path)
+        vdb.create_table("s", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Vec", "dataType": "SPARSE_VECTOR_FLOAT",
+             "dimensions": 100, "metricType": metric},
+        ])
+        vdb.insert("s", [
+            {"ID": 1, "Vec": {"indices": [0, 5], "values": [1.0, 2.0]}},
+            {"ID": 2, "Vec": {"indices": [5, 7], "values": [3.0, 1.0]}},
+            {"ID": 3, "Vec": {"indices": [1], "values": [4.0]}},
+        ])
+
+    def test_sparse_ip(self, tmp_path):
+        self.make(tmp_path, "DOT_PRODUCT")
+        code, res = vdb.query(
+            "s", "Vec", {"indices": [5], "values": [1.0]}, ["ID"], 3, "", True)
+        assert [r["ID"] for r in res] == [2, 1, 3]
+
+    def test_sparse_euclidean(self, tmp_path):
+        self.make(tmp_path, "EUCLIDEAN")
+        code, res = vdb.query(
+            "s", "Vec", {"indices": [0, 5], "values": [1.0, 2.0]},
+            ["ID"], 1, "", True)
+        assert res[0]["ID"] == 1
+        assert res[0]["@distance"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_invalid_sparse_rejected(self, tmp_path):
+        self.make(tmp_path, "EUCLIDEAN")
+        # non-increasing indices -> row skipped
+        vdb.insert("s", [
+            {"ID": 9, "Vec": {"indices": [5, 2], "values": [1.0, 1.0]}}])
+        _, res = vdb.get("s", ["ID"], primary_keys=[9])
+        assert res == []
+        # out-of-dim index -> skipped
+        vdb.insert("s", [
+            {"ID": 10, "Vec": {"indices": [100], "values": [1.0]}}])
+        _, res = vdb.get("s", ["ID"], primary_keys=[10])
+        assert res == []
+
+
+class TestPersistence:
+    def test_dump_and_reload(self, tmp_path):
+        name = make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        vdb.delete_by_pk("t", [5])
+        assert vdb.dump_db(name, str(tmp_path / name)) == 0
+        assert vdb.unload_db(name) == 0
+
+        assert vdb.load_db(name, str(tmp_path / name)) == 0
+        vdb.use_db(name)
+        _, res = vdb.query("t", "Embedding", [0.35, 0.55, 0.47, 0.94],
+                           ["Doc", "ID"], 10, "", True)
+        assert len(res) == 4
+        assert res[0]["Doc"] == "Moscow"
+
+    def test_wal_replay_without_dump(self, tmp_path):
+        name = make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        vdb.delete_by_pk("t", [2])
+        # Unload WITHOUT dumping: WAL must reconstruct the state.
+        assert vdb.unload_db(name) == 0
+        assert vdb.load_db(name, str(tmp_path / name)) == 0
+        vdb.use_db(name)
+        _, res = vdb.get("t", ["ID"])
+        assert sorted(r["ID"] for r in res) == [1, 3, 4, 5]
+
+    def test_upsert_survives_replay(self, tmp_path):
+        name = make_db(tmp_path)
+        dense_table()
+        vdb.insert("t", RECORDS)
+        vdb.insert("t", [{"ID": 3, "Doc": "Kyiv",
+                          "Embedding": [0.1, 0.1, 0.1, 0.1]}], upsert=True)
+        vdb.unload_db(name)
+        vdb.load_db(name, str(tmp_path / name))
+        vdb.use_db(name)
+        _, res = vdb.get("t", ["Doc"], primary_keys=[3])
+        assert res[0]["Doc"] == "Kyiv"
+
+
+class TestProjectAndFacets:
+    def setup_table(self, tmp_path):
+        make_db(tmp_path)
+        vdb.create_table("p", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Cat", "dataType": "STRING"},
+            {"name": "Price", "dataType": "DOUBLE"},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 2,
+             "metricType": "EUCLIDEAN"},
+        ])
+        vdb.insert("p", [
+            {"ID": i, "Cat": "a" if i % 2 == 0 else "b",
+             "Price": float(i), "V": [float(i), 0.0]}
+            for i in range(10)
+        ])
+
+    def test_get_with_skip_limit(self, tmp_path):
+        self.setup_table(tmp_path)
+        _, res = vdb.get("p", ["ID"], filter="ID >= 2", skip=2, limit=3)
+        assert [r["ID"] for r in res] == [4, 5, 6]
+
+    def test_get_by_pks(self, tmp_path):
+        self.setup_table(tmp_path)
+        _, res = vdb.get("p", ["ID", "Cat"], primary_keys=[7, 3, 99])
+        assert sorted(r["ID"] for r in res) == [3, 7]
+
+    def test_facets_groupby(self, tmp_path):
+        self.setup_table(tmp_path)
+        code, res, facets = vdb.get(
+            "p", [], facets=[{"group": ["Cat"],
+                              "aggregate": ["COUNT(*)", "SUM(Price)"]}])
+        groups = {g["Cat"]: g for g in facets[0]}
+        assert groups["a"]["COUNT(*)"] == 5
+        assert groups["a"]["SUM(Price)"] == pytest.approx(0 + 2 + 4 + 6 + 8)
+        assert groups["b"]["COUNT(*)"] == 5
+
+    def test_facets_global(self, tmp_path):
+        self.setup_table(tmp_path)
+        code, res, facets = vdb.get(
+            "p", [], facets=[{"group": [],
+                              "aggregate": ["MIN(Price)", "MAX(Price)"]}])
+        assert facets[0][0]["MIN(Price)"] == pytest.approx(0.0)
+        assert facets[0][0]["MAX(Price)"] == pytest.approx(9.0)
+
+    def test_facets_on_query(self, tmp_path):
+        self.setup_table(tmp_path)
+        code, res, facets = vdb.query(
+            "p", "V", [0.0, 0.0], ["ID"], 4, "", False,
+            facets=[{"group": ["Cat"], "aggregate": ["COUNT(*)"]}])
+        total = sum(g["COUNT(*)"] for g in facets[0])
+        assert total == 4
+
+    def test_project_all_fields(self, tmp_path):
+        self.setup_table(tmp_path)
+        _, res = vdb.get("p", [], limit=1)
+        assert set(res[0].keys()) == {"ID", "Cat", "Price", "V"}
+
+
+class TestGeo:
+    def test_nearby_filter(self, tmp_path):
+        make_db(tmp_path)
+        vdb.create_table("g", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Loc", "dataType": "GEO_POINT"},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 2,
+             "metricType": "EUCLIDEAN"},
+        ])
+        vdb.insert("g", [
+            {"ID": 1, "Loc": {"latitude": 37.0, "longitude": -122.0},
+             "V": [0.0, 0.0]},
+            {"ID": 2, "Loc": {"latitude": 37.001, "longitude": -122.0},
+             "V": [1.0, 0.0]},
+            {"ID": 3, "Loc": {"latitude": 48.0, "longitude": 2.0},
+             "V": [2.0, 0.0]},
+        ])
+        _, res = vdb.get("g", ["ID"],
+                         filter="NEARBY(Loc, 37.0, -122.0, 10)")
+        assert sorted(r["ID"] for r in res) == [1, 2]
+        _, res = vdb.query("g", "V", [0.0, 0.0], ["ID"], 10,
+                           "NEARBY(Loc, 48.0, 2.0, 10)")
+        assert [r["ID"] for r in res] == [3]

@@ -1,0 +1,130 @@
+"""Global engine configuration with live reconfiguration.
+
+Mirrors the semantics of the reference's global `Config` of validated atomics
+(/root/reference/engine/config/config.hpp:17-89): the same keys are accepted by
+`update_config`, and it reports whether running query state must be swapped.
+
+The TPU engine maps the reference's thread/queue knobs onto batching and
+kernel parameters:
+  - IntraQueryThreads      -> (no direct analogue; kept for API compat)
+  - MasterQueueSize        -> beam width cap (search L)
+  - LocalQueueSize         -> kept for API compat (beam width shares L)
+  - GlobalSyncInterval     -> beam-search iterations between convergence checks
+  - NumExecutorPerField    -> max concurrent query batches per field
+  - RebuildThreads         -> host threads for index build orchestration
+  - PreFilter              -> evaluate filters before the ANN search
+"""
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, Tuple
+
+
+class Config:
+    def __init__(self):
+        self._lock = threading.Lock()
+        # Defaults follow reference config.hpp:18-26.
+        self.intra_query_threads = 4
+        self.master_queue_size = 500
+        self.local_queue_size = 500
+        self.global_sync_interval = 15
+        self.minimal_graph_size = 100
+        self.num_executor_per_field = 16
+        self.rebuild_threads = 1
+        self.pre_filter = False
+        # TPU-specific knobs (no reference analogue).
+        self.search_ef = 128          # beam width for graph search
+        self.query_batch_window_ms = 2.0   # batching window for concurrent queries
+        self.use_bf16_matmul = True   # bf16 MXU distance blocks with f32 accumulation
+        self.brute_force_threshold = 512   # reference vec_search_executor.hpp:28
+        self.rebuild_interval_s = 60.0     # reference db_server.hpp:21
+
+    def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
+        """Apply a JSON config update.
+
+        Returns (ok, swap_required) mirroring reference `updateConfig`
+        (config.hpp:65-85): swap_required is True when executor-level state
+        (queue sizes / thread counts) changed.
+        """
+        swap = False
+        with self._lock:
+            if "IntraQueryThreads" in cfg:
+                v = int(cfg["IntraQueryThreads"])
+                if not (1 <= v <= 128):
+                    return False, False
+                if v != self.intra_query_threads:
+                    self.intra_query_threads = v
+                    swap = True
+            if "ConcurrentWorkersPerVectorIndex" in cfg or "NumExecutorPerField" in cfg:
+                v = int(cfg.get("ConcurrentWorkersPerVectorIndex",
+                                cfg.get("NumExecutorPerField")))
+                if not (1 <= v <= 1024):
+                    return False, False
+                if v != self.num_executor_per_field:
+                    self.num_executor_per_field = v
+                    swap = True
+            if "MasterQueueSize" in cfg:
+                v = int(cfg["MasterQueueSize"])
+                if not (1 <= v <= 16000):
+                    return False, False
+                if v != self.master_queue_size:
+                    self.master_queue_size = v
+                    swap = True
+            if "LocalQueueSize" in cfg:
+                v = int(cfg["LocalQueueSize"])
+                if not (1 <= v <= 16000):
+                    return False, False
+                if v != self.local_queue_size:
+                    self.local_queue_size = v
+                    swap = True
+            if "GlobalSyncInterval" in cfg:
+                v = int(cfg["GlobalSyncInterval"])
+                if not (1 <= v <= 1000):
+                    return False, False
+                if v != self.global_sync_interval:
+                    self.global_sync_interval = v
+                    swap = True
+            if "MinimalGraphSize" in cfg:
+                v = int(cfg["MinimalGraphSize"])
+                if not (1 <= v <= 1000000):
+                    return False, False
+                self.minimal_graph_size = v
+            if "RebuildThreads" in cfg:
+                v = int(cfg["RebuildThreads"])
+                if not (1 <= v <= 128):
+                    return False, False
+                self.rebuild_threads = v
+            if "PreFilter" in cfg:
+                self.pre_filter = bool(cfg["PreFilter"])
+            if "SearchEf" in cfg:
+                v = int(cfg["SearchEf"])
+                if not (1 <= v <= 16000):
+                    return False, False
+                self.search_ef = v
+            if "UseBf16Matmul" in cfg:
+                self.use_bf16_matmul = bool(cfg["UseBf16Matmul"])
+            if "BruteForceThreshold" in cfg:
+                self.brute_force_threshold = int(cfg["BruteForceThreshold"])
+            if "RebuildIntervalSeconds" in cfg:
+                self.rebuild_interval_s = float(cfg["RebuildIntervalSeconds"])
+        return True, swap
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "IntraQueryThreads": self.intra_query_threads,
+            "ConcurrentWorkersPerVectorIndex": self.num_executor_per_field,
+            "MasterQueueSize": self.master_queue_size,
+            "LocalQueueSize": self.local_queue_size,
+            "GlobalSyncInterval": self.global_sync_interval,
+            "MinimalGraphSize": self.minimal_graph_size,
+            "RebuildThreads": self.rebuild_threads,
+            "PreFilter": self.pre_filter,
+            "SearchEf": self.search_ef,
+            "UseBf16Matmul": self.use_bf16_matmul,
+            "BruteForceThreshold": self.brute_force_threshold,
+            "RebuildIntervalSeconds": self.rebuild_interval_s,
+        }
+
+
+# Global config instance, like the reference's `globalConfig`.
+global_config = Config()

@@ -1,0 +1,151 @@
+"""Flat (brute-force) distance scan + top-k, TPU-first.
+
+This is the TPU-native replacement for the reference's OpenMP brute-force
+scan (/root/reference/engine/db/execution/vec_search_executor.cpp:717-768)
+and its SIMD distance kernels (db/index/distance_simd.cpp): a batch of
+queries is scored against the whole table as MXU-tiled matmul blocks with the
+deleted/filter bitmask and top-k selection fused in, streamed chunk-by-chunk
+so the [B, N] distance matrix never materializes in HBM.
+
+Distance conventions match the reference dispatch
+(db/index/index.cpp:10-35):
+  EUCLIDEAN   -> squared L2 (space_l2.hpp)
+  COSINE      -> 1 - inner_product (space_cosine.hpp:13-16), vectors
+                 normalized at ingest
+  DOT_PRODUCT -> -inner_product (space_ip.hpp:8-20)
+All three are "smaller is better".
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schema import MetricType
+
+# Rows per streamed chunk. 8192 rows x 128 lanes fits VMEM comfortably and
+# keeps the MXU busy with [B, D] x [D, 8192] blocks.
+DEFAULT_CHUNK = 8192
+# Below this row count a single fused matmul + top_k beats the scan loop.
+SINGLE_PASS_MAX = 65536
+
+
+def _scores(q: jnp.ndarray, tab: jnp.ndarray, norms: Optional[jnp.ndarray],
+            metric: int) -> jnp.ndarray:
+    """[B, D] x [chunk, D] -> [B, chunk] distance block (f32 accumulation)."""
+    ip = jax.lax.dot_general(
+        q, tab,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if metric == int(MetricType.EUCLIDEAN):
+        qn = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1,
+                     keepdims=True)
+        return qn - 2.0 * ip + norms[None, :]
+    if metric == int(MetricType.COSINE):
+        return 1.0 - ip
+    return -ip  # DOT_PRODUCT
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "chunk"))
+def _flat_topk_scan(q, table, norms, mask, metric: int, k: int, chunk: int):
+    """Streamed scan over row chunks, carrying a running top-k."""
+    n = table.shape[0]
+    n_chunks = n // chunk
+    b = q.shape[0]
+
+    table_c = table.reshape(n_chunks, chunk, table.shape[1])
+    mask_c = mask.reshape(n_chunks, chunk)
+    if norms is not None:
+        norms_c = norms.reshape(n_chunks, chunk)
+    else:
+        norms_c = jnp.zeros((n_chunks, chunk), jnp.float32)
+    base_ids = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+
+    init = (jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32))
+
+    def body(carry, xs):
+        best_d, best_i = carry
+        tab, nrm, msk, base = xs
+        d = _scores(q, tab, nrm, metric)
+        d = jnp.where(msk[None, :], d, jnp.inf)
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        all_d = jnp.concatenate([best_d, d], axis=1)
+        all_i = jnp.concatenate([best_i, ids], axis=1)
+        neg_top, sel = jax.lax.top_k(-all_d, k)
+        return (-neg_top, jnp.take_along_axis(all_i, sel, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (table_c, norms_c, mask_c, base_ids))
+    return best_d, best_i
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _flat_topk_single(q, table, norms, mask, metric: int, k: int):
+    d = _scores(q, table, norms, metric)
+    d = jnp.where(mask[None, :], d, jnp.inf)
+    neg_top, ids = jax.lax.top_k(-d, k)
+    return -neg_top, ids
+
+
+def flat_topk(queries: jnp.ndarray,
+              table: jnp.ndarray,
+              norms: Optional[jnp.ndarray],
+              mask: jnp.ndarray,
+              metric: MetricType,
+              k: int,
+              chunk: int = DEFAULT_CHUNK) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused distance + top-k over an [N, D] device table.
+
+    queries: [B, D] (f32 or bf16; cast to table dtype for the MXU block)
+    table:   [N, D] device-resident, N padded to a chunk multiple
+    norms:   [N] f32 squared row norms (EUCLIDEAN only; None otherwise)
+    mask:    [N] bool — False rows (deleted / filtered / padding) are +inf
+    Returns (distances [B, k] f32, ids [B, k] int32); masked-out slots have
+    distance +inf and id -1 (single-pass path keeps arbitrary padded ids for
+    +inf rows; callers must drop non-finite entries).
+    """
+    n = table.shape[0]
+    k = min(k, n)
+    q = queries.astype(table.dtype)
+    if n <= SINGLE_PASS_MAX or n % chunk != 0:
+        return _flat_topk_single(q, table, norms, mask, int(metric), k)
+    return _flat_topk_scan(q, table, norms, mask, int(metric), k, chunk)
+
+
+def flat_distances(queries: jnp.ndarray, table: jnp.ndarray,
+                   norms: Optional[jnp.ndarray],
+                   metric: MetricType) -> jnp.ndarray:
+    """Unfused [B, N] distance matrix (small N / testing)."""
+    return _scores(queries.astype(table.dtype), table, norms, int(metric))
+
+
+def exact_rerank(queries_f32: np.ndarray,
+                 table_f32: np.ndarray,
+                 ids: np.ndarray,
+                 metric: MetricType) -> np.ndarray:
+    """Host-side exact f32 re-scoring of candidate ids.
+
+    When the device table is bf16 (MXU speed mode), the candidate list is
+    generated with a small slack and re-scored here in f32 against the host
+    source-of-truth copy, so reported @distance values and final ranking are
+    exact. ids may contain -1 (padded slots) -> distance +inf.
+    """
+    b, kk = ids.shape
+    safe = np.clip(ids, 0, table_f32.shape[0] - 1)
+    cand = table_f32[safe.reshape(-1)].reshape(b, kk, -1)
+    q = queries_f32[:, None, :]
+    if metric == MetricType.EUCLIDEAN:
+        diff = cand - q
+        d = np.einsum("bkd,bkd->bk", diff, diff, dtype=np.float32)
+    elif metric == MetricType.COSINE:
+        d = 1.0 - np.einsum("bkd,bkd->bk", cand, q.repeat(kk, axis=1),
+                            dtype=np.float32)
+    else:
+        d = -np.einsum("bkd,bkd->bk", cand, q.repeat(kk, axis=1),
+                       dtype=np.float32)
+    d = np.where(ids < 0, np.inf, d)
+    return d

@@ -1,0 +1,489 @@
+"""Per-table orchestration: ingest, search dispatch, projection, rebuild.
+
+Equivalent of the reference's TableMVP (/root/reference/engine/db/table_mvp.cpp)
+with the executor machinery re-designed for TPU: instead of a blocking pool of
+per-thread graph-traversal executors (table_mvp.cpp:72-89), queries are scored
+by batched device kernels — a fused flat scan (ops/flat.py) and, once an ANN
+graph is built, a batched beam search over a fixed-degree adjacency
+(ops/beam.py) with a brute-force tail for rows inserted after the last build
+(vec_search_executor.cpp:885-914 semantics).
+
+Filter semantics: the reference post-filters graph candidates and offers a
+PreFilter brute mode (config.hpp:25). Here filters without `@distance` are
+pushed down into the scan/search mask (a fused bitmask costs nothing on TPU
+and returns a full k results under selective filters); filters referencing
+`@distance` are applied after candidate generation over a candidate pool of
+master_queue_size, matching the reference's top-L post-scan
+(vec_search_executor.cpp:906-927).
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import global_config
+from .errors import (DB_UNEXPECTED_ERROR, USER_ERROR, Status, VectorDBError)
+from .expr.evaluator import FilterCompiler, find_nearby_uplift, haversine_km
+from .expr.parser import ExprNode, parse_expr
+from .facets import FacetExecutor
+from .logger import logger
+from .ops import flat as flat_ops
+from .ops import sparse as sparse_ops
+from .schema import (DENSE_VECTOR_TYPES, SPARSE_VECTOR_TYPES, FieldType,
+                     MetricType, TableSchema)
+from .segment import TableSegment
+from .wal import (DELETE, INSERT, UPSERT, WriteAheadLog, decode_delete_entry,
+                  encode_delete_entry)
+
+# Candidate-pool over-fetch for exact f32 re-ranking of bf16 device scores.
+RERANK_SLACK = 32
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class Table:
+    def __init__(self, schema: TableSchema, db_path: str, is_leader: bool,
+                 init_table_scale: int = 150000, wal_enabled: bool = True,
+                 embedding_service=None, config=None):
+        self.schema = schema
+        self.db_path = db_path
+        self.is_leader = is_leader
+        self.config = config or global_config
+        self.embedding_service = embedding_service
+        self.field_type_map = schema.field_type_map()
+        self.metric_map = {f.name: f.metric_type for f in schema.fields}
+
+        self.segment_path = os.path.join(db_path, str(schema.id), "data.npz")
+        self.segment = TableSegment.load(self.segment_path, schema,
+                                         init_table_scale)
+        self.wal = WriteAheadLog(db_path, schema.id, is_leader)
+        self.wal.set_enabled(wal_enabled)
+        self.wal.replay(self._apply_wal_entry, self.segment.wal_global_id)
+
+        # Per dense-vector-field ANN graph (built by rebuild()).
+        self.graphs: Dict[str, Any] = {}
+        self.graph_lock = threading.Lock()
+        self._graph_built_rows: Dict[str, int] = {}
+        for f in schema.fields:
+            if f.is_dense_vector():
+                self.graphs[f.name] = None
+                self._graph_built_rows[f.name] = 0
+                self._try_load_graph(f.name)
+
+    # ------------------------------------------------------------------
+    # WAL replay hook.
+    # ------------------------------------------------------------------
+
+    def _apply_wal_entry(self, global_id: int, entry_type: int,
+                         content: str) -> None:
+        if entry_type in (INSERT, UPSERT):
+            records = json.loads(content)
+            status = self.segment.insert(records, global_id,
+                                         upsert=(entry_type == UPSERT),
+                                         embedding_service=self.embedding_service)
+            if not status.ok():
+                logger.error("Fail to apply wal entry: " + status.message)
+        elif entry_type == DELETE:
+            pks, filter_str = decode_delete_entry(content)
+            compiler = self._compile_filter(filter_str)
+            self.segment.delete(pks, compiler, global_id)
+
+    def _compile_filter(self, filter_str: str) -> Optional[FilterCompiler]:
+        nodes = parse_expr(filter_str or "", self.field_type_map)
+        if not nodes:
+            return None
+        return FilterCompiler(nodes, self.segment.column)
+
+    # ------------------------------------------------------------------
+    # Mutations.
+    # ------------------------------------------------------------------
+
+    def insert(self, records: List[Dict[str, Any]], upsert: bool = False,
+               headers: Optional[Dict[str, str]] = None) -> Status:
+        wal_id = self.wal.write_entry(UPSERT if upsert else INSERT,
+                                      json.dumps(records))
+        return self.segment.insert(records, wal_id, upsert=upsert,
+                                   embedding_service=self.embedding_service,
+                                   headers=headers)
+
+    def insert_prepare(self, pks: List[Any]) -> Dict[str, Any]:
+        return self.segment.insert_prepare(pks)
+
+    def delete(self, pk_list: List[Any], filter_str: str,
+               filter_nodes: List[ExprNode]) -> Status:
+        wal_id = self.wal.write_entry(
+            DELETE, encode_delete_entry(pk_list, filter_str or ""))
+        compiler = (FilterCompiler(filter_nodes, self.segment.column)
+                    if filter_nodes else None)
+        return self.segment.delete(pk_list, compiler, wal_id)
+
+    # ------------------------------------------------------------------
+    # Search.
+    # ------------------------------------------------------------------
+
+    def search(self, field_name: str, query_fields: List[str],
+               query_dimension: int, query_data,
+               limit: int, filter_nodes: List[ExprNode],
+               with_distance: bool,
+               facet_executors: Optional[List[FacetExecutor]] = None,
+               ) -> Tuple[List[Dict[str, Any]], List[Any]]:
+        """Returns (result rows, facets). query_data is a numpy [D] array for
+        dense fields or a SparseVector for sparse fields."""
+        if field_name not in self.field_type_map:
+            raise VectorDBError(DB_UNEXPECTED_ERROR,
+                                "Field name not found: " + field_name)
+        for f in query_fields:
+            if f not in self.field_type_map:
+                raise VectorDBError(DB_UNEXPECTED_ERROR,
+                                    "Field name not found: " + f)
+        ftype = self.field_type_map[field_name]
+        if ftype not in DENSE_VECTOR_TYPES + SPARSE_VECTOR_TYPES:
+            raise VectorDBError(USER_ERROR, "Field type is not vector.")
+        is_sparse_query = isinstance(query_data, sparse_ops.SparseVector)
+        if is_sparse_query != (ftype in SPARSE_VECTOR_TYPES):
+            raise VectorDBError(
+                USER_ERROR,
+                "Query vector and field vector type must be both dense or sparse")
+
+        metric = self.metric_map[field_name]
+        if metric == MetricType.COSINE:
+            if is_sparse_query:
+                query_data = query_data.normalized()
+            else:
+                q = np.asarray(query_data, dtype=np.float32)
+                s = float(np.dot(q, q))
+                if s > 1e-10:
+                    query_data = q / np.float32(np.sqrt(s))
+
+        ids, dists = self._search_ids(field_name, query_data, limit,
+                                      filter_nodes, is_sparse_query)
+
+        facets: List[Any] = []
+        rows: List[Dict[str, Any]] = []
+        if query_fields or not facet_executors:
+            rows = self.project(query_fields, ids, with_distance, dists)
+        for fe in facet_executors or []:
+            facets.append(fe.run(self.segment, ids, dists))
+        return rows, facets
+
+    def _search_ids(self, field_name: str, query_data, limit: int,
+                    filter_nodes: List[ExprNode], is_sparse: bool
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        seg = self.segment
+        n = seg.record_number
+        if n == 0 or limit <= 0:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+
+        compiler = (FilterCompiler(filter_nodes, seg.column)
+                    if filter_nodes else None)
+        uses_distance = compiler.uses_distance() if compiler else False
+
+        # Pre-search mask: alive rows, plus pushed-down filters when they
+        # don't reference @distance.
+        valid = seg.valid_mask()
+        if compiler is not None and not uses_distance:
+            valid &= compiler.mask(n_rows=n)
+
+        if uses_distance:
+            k_cand = min(max(limit, self.config.master_queue_size), n)
+        else:
+            k_cand = min(limit, n)
+
+        metric = self.metric_map[field_name]
+        if is_sparse:
+            ids, dists = self._sparse_scan(field_name, query_data, valid,
+                                           metric, k_cand)
+        else:
+            ids, dists = self._dense_search(field_name, query_data, valid,
+                                            metric, k_cand)
+
+        # Post-filter for @distance predicates (reference top-L scan,
+        # vec_search_executor.cpp:906-927).
+        if uses_distance and compiler is not None and len(ids):
+            keep = compiler.mask(row_ids=ids, distances=dists)
+            ids, dists = ids[keep], dists[keep]
+        return ids[:limit], dists[:limit]
+
+    def _dense_search(self, field_name: str, query: np.ndarray,
+                      valid: np.ndarray, metric: MetricType, k: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Single-query dense search: graph path when a fresh-enough graph
+        exists and the table is large, else fused flat scan. Returns exact
+        f32 distances (device scores re-ranked on host)."""
+        ids, dists = self.batch_dense_search(
+            field_name, query[None, :], valid, metric, k)
+        return ids[0], dists[0]
+
+    def batch_dense_search(self, field_name: str, queries: np.ndarray,
+                           valid: np.ndarray, metric: MetricType, k: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched dense search over [B, D] queries -> ([B, k] ids, dists).
+
+        Dispatch (reference Search, vec_search_executor.cpp:833-935):
+        graph beam search over indexed rows + flat tail over the rest when a
+        graph exists and n >= brute_force_threshold; otherwise fused flat
+        scan over everything.
+        """
+        seg = self.segment
+        n = seg.record_number
+        graph = self.graphs.get(field_name)
+        n_alive = int(np.count_nonzero(valid))
+        k_eff = min(k, max(n_alive, 1))
+
+        use_graph = (graph is not None
+                     and n >= self.config.brute_force_threshold
+                     and not self.config.pre_filter)
+        if use_graph:
+            from .ops import beam as beam_ops
+            cand_ids = beam_ops.beam_search(
+                graph, queries, valid, metric,
+                beam_width=max(self.config.search_ef, k_eff + RERANK_SLACK))
+            # Brute-force tail over rows inserted after the graph was built.
+            tail_start = graph.num_rows
+            if n > tail_start:
+                t_ids, _ = self._flat_candidates(
+                    field_name, queries, valid, metric,
+                    min(k_eff + RERANK_SLACK, n), row_start=tail_start)
+                cand_ids = np.concatenate([cand_ids, t_ids], axis=1)
+        else:
+            cand_ids, _ = self._flat_candidates(
+                field_name, queries, valid, metric,
+                min(k_eff + RERANK_SLACK, max(n_alive, 1)))
+
+        # Exact f32 re-rank on the host mirror: dedups bf16 ties and makes
+        # reported @distance values exact.
+        host = seg.dense_host[field_name]
+        exact = flat_ops.exact_rerank(
+            np.asarray(queries, dtype=np.float32), host, cand_ids, metric)
+        # Drop invalid (masked/deleted/dup) candidates.
+        b = cand_ids.shape[0]
+        out_ids = np.full((b, k_eff), -1, dtype=np.int64)
+        out_d = np.full((b, k_eff), np.inf, dtype=np.float64)
+        for i in range(b):
+            ids_i = cand_ids[i]
+            d_i = exact[i]
+            ok = ids_i >= 0
+            ids_i, d_i = ids_i[ok], d_i[ok]
+            ids_i, uniq_idx = np.unique(ids_i, return_index=True)
+            d_i = d_i[uniq_idx]
+            order = np.argsort(d_i, kind="stable")[:k_eff]
+            m = len(order)
+            out_ids[i, :m] = ids_i[order]
+            out_d[i, :m] = d_i[order]
+        # Trim trailing all-invalid columns for the single-query path.
+        keep_cols = (out_ids >= 0).any(axis=0)
+        last = int(np.max(np.nonzero(keep_cols)[0])) + 1 if keep_cols.any() else 0
+        return out_ids[:, :last].astype(np.int64), out_d[:, :last]
+
+    def _flat_candidates(self, field_name: str, queries: np.ndarray,
+                         valid: np.ndarray, metric: MetricType, k: int,
+                         row_start: int = 0
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused device scan over rows [row_start, n) -> top-k candidates."""
+        store = self.segment.device_view(field_name)
+        mask = np.zeros(store.capacity, dtype=bool)
+        mask[row_start:len(valid)] = valid[row_start:]
+        qp = np.zeros((queries.shape[0], store.dim_padded), dtype=np.float32)
+        qp[:, : store.dim] = queries
+        import jax.numpy as jnp
+
+        d, ids = flat_ops.flat_topk(
+            jnp.asarray(qp), store.buf,
+            store.norms if metric == MetricType.EUCLIDEAN else None,
+            jnp.asarray(mask), metric, min(k, store.capacity))
+        d = np.asarray(d)
+        ids = np.asarray(ids).astype(np.int64)
+        ids[~np.isfinite(d)] = -1
+        return ids, d.astype(np.float64)
+
+    def _sparse_scan(self, field_name: str, query, valid: np.ndarray,
+                     metric: MetricType, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        rows = np.nonzero(valid)[0]
+        if len(rows) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+        col = self.segment.sparse_cols[field_name]
+        d = sparse_ops.batch_distances(query, col, rows, metric)
+        k = min(k, len(rows))
+        part = np.argpartition(d, k - 1)[:k]
+        order = part[np.argsort(d[part], kind="stable")]
+        return rows[order].astype(np.int64), d[order].astype(np.float64)
+
+    # ------------------------------------------------------------------
+    # Attribute-only search (reference SearchByAttribute,
+    # vec_search_executor.cpp:937-1032): pk list / filter / geo uplift,
+    # skip + limit over id-ascending matches.
+    # ------------------------------------------------------------------
+
+    def search_by_attribute(self, query_fields: List[str],
+                            primary_keys: List[Any],
+                            filter_nodes: List[ExprNode],
+                            skip: int, limit: int,
+                            facet_executors: Optional[List[FacetExecutor]] = None,
+                            ) -> Tuple[List[Dict[str, Any]], List[Any]]:
+        seg = self.segment
+        n = seg.record_number
+        limit = min(limit, n) if n else 0
+        compiler = (FilterCompiler(filter_nodes, seg.column)
+                    if filter_nodes else None)
+
+        if primary_keys:
+            cand = [seg.pk_to_id(pk) for pk in primary_keys]
+            cand = np.asarray([c for c in cand if c is not None],
+                              dtype=np.int64)
+        else:
+            uplift = find_nearby_uplift(filter_nodes) if filter_nodes else None
+            if uplift is not None:
+                node = filter_nodes[uplift]
+                geo_field = filter_nodes[node.arguments[0]].field_name
+                lat = filter_nodes[node.arguments[1]].double_value
+                lon = filter_nodes[node.arguments[2]].double_value
+                radius = filter_nodes[node.arguments[3]].double_value
+                lat_col, lon_col = seg.geo_cols[geo_field]
+                d = haversine_km(lat_col[:n], lon_col[:n], lat, lon)
+                cand = np.nonzero(d <= radius)[0].astype(np.int64)
+            else:
+                cand = np.arange(n, dtype=np.int64)
+
+        if len(cand):
+            keep = ~seg.deleted[cand]
+            if compiler is not None:
+                keep &= compiler.mask(row_ids=cand)
+            cand = cand[keep]
+        ids = cand[skip: skip + limit] if limit else cand[skip:]
+
+        facets: List[Any] = []
+        rows: List[Dict[str, Any]] = []
+        if query_fields or not facet_executors:
+            rows = self.project(query_fields, ids, False, None)
+        for fe in facet_executors or []:
+            facets.append(fe.run(self.segment, ids, None))
+        return rows, facets
+
+    # ------------------------------------------------------------------
+    # Projection (reference TableMVP::Project, table_mvp.cpp:462-594).
+    # ------------------------------------------------------------------
+
+    def project(self, query_fields: List[str], ids: Optional[np.ndarray],
+                with_distance: bool,
+                distances: Optional[np.ndarray]) -> List[Dict[str, Any]]:
+        seg = self.segment
+        fields = list(query_fields)
+        if not fields:
+            fields = [f.name for f in self.schema.fields
+                      if not f.is_index_field]
+        if ids is None:
+            ids = np.arange(seg.record_number, dtype=np.int64)
+        out: List[Dict[str, Any]] = []
+        fmap = self.schema.field_map()
+        for i, rid in enumerate(ids):
+            rid = int(rid)
+            rec: Dict[str, Any] = {}
+            for name in fields:
+                ft = self.field_type_map[name]
+                if ft in DENSE_VECTOR_TYPES:
+                    rec[name] = [float(x) for x in seg.dense_host[name][rid]]
+                elif ft in SPARSE_VECTOR_TYPES:
+                    v = seg.sparse_cols[name][rid]
+                    rec[name] = (v.to_json() if v is not None
+                                 else {"indices": [], "values": []})
+                elif ft == FieldType.STRING:
+                    rec[name] = seg.varlen_cols[name][rid]
+                elif ft == FieldType.JSON:
+                    raw = seg.varlen_cols[name][rid]
+                    rec[name] = json.loads(raw) if raw else None
+                elif ft == FieldType.GEO_POINT:
+                    lat, lon = seg.geo_cols[name]
+                    rec[name] = {"latitude": float(lat[rid]),
+                                 "longitude": float(lon[rid])}
+                elif ft == FieldType.BOOL:
+                    rec[name] = bool(seg.primitive_cols[name][rid])
+                elif ft in (FieldType.FLOAT, FieldType.DOUBLE):
+                    rec[name] = float(seg.primitive_cols[name][rid])
+                else:
+                    rec[name] = int(seg.primitive_cols[name][rid])
+            if with_distance and distances is not None:
+                rec["@distance"] = float(distances[i])
+            out.append(rec)
+        return out
+
+    # ------------------------------------------------------------------
+    # Rebuild (reference TableMVP::Rebuild, table_mvp.cpp:94-203): leader
+    # saves the segment, (re)builds per-field graphs when the row count
+    # changed and clears consumed WAL files; follower reloads from disk.
+    # ------------------------------------------------------------------
+
+    def _graph_path(self, field_name: str) -> str:
+        fmap = self.schema.field_map()
+        return os.path.join(self.db_path, str(self.schema.id),
+                            f"ann_graph_{fmap[field_name].id}.npz")
+
+    def _try_load_graph(self, field_name: str) -> None:
+        path = self._graph_path(field_name)
+        if os.path.exists(path):
+            try:
+                from .index.graph import GraphIndex
+                g = GraphIndex.load(path, self.segment, field_name)
+                with self.graph_lock:
+                    self.graphs[field_name] = g
+                    self._graph_built_rows[field_name] = g.num_rows
+            except Exception as e:
+                logger.error(f"Failed to load graph for {field_name}: {e}")
+
+    def rebuild(self) -> Status:
+        if self.is_leader:
+            self.segment.save(self.segment_path)
+            self.wal.clean_up_old_files()
+        n = self.segment.record_number
+        for f in self.schema.fields:
+            if not f.is_dense_vector():
+                continue
+            built = self._graph_built_rows[f.name]
+            if n < self.config.minimal_graph_size or built == n:
+                continue
+            if self.is_leader:
+                try:
+                    from .index.graph import GraphIndex
+                    g = GraphIndex.build(self.segment, f.name,
+                                         self.metric_map[f.name])
+                    g.save(self._graph_path(f.name))
+                    with self.graph_lock:
+                        self.graphs[f.name] = g
+                        self._graph_built_rows[f.name] = g.num_rows
+                except ImportError:
+                    pass  # graph module not built yet (phase C)
+                except Exception as e:
+                    logger.error(f"Graph build failed for {f.name}: {e}")
+            else:
+                self._try_load_graph(f.name)
+        return Status.OK()
+
+    def swap_executors(self) -> Status:
+        """Config changed: nothing to swap in the batched design (pools do
+        not exist); kernel parameters are read per call."""
+        return Status.OK()
+
+    def dump(self, db_catalog_path: str) -> Status:
+        path = os.path.join(db_catalog_path, str(self.schema.id), "data.npz")
+        self.segment.skip_sync_disk = False
+        return self.segment.save(path)
+
+    def set_leader(self, leader: bool) -> None:
+        self.is_leader = leader
+        self.wal.set_leader(leader)
+
+    def set_wal_enabled(self, enabled: bool) -> None:
+        self.wal.set_enabled(enabled)
+
+    def release(self) -> None:
+        self.wal.close()
+        for f in self.graphs:
+            self.graphs[f] = None
+        for store in self.segment.dense_device.values():
+            store.invalidate()

@@ -1,0 +1,5 @@
+from .common import (atomic_write_bytes, atomic_write_text, is_valid_name,
+                     ensure_dir, AtomicCounter)
+
+__all__ = ["atomic_write_bytes", "atomic_write_text", "is_valid_name",
+           "ensure_dir", "AtomicCounter"]

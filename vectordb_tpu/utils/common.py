@@ -1,0 +1,63 @@
+"""Filesystem + misc helpers.
+
+Equivalent of the reference's CommonUtil (atomic tmp+rename+fsync writes as in
+/root/reference/engine/db/table_segment_mvp.cpp:939-1010, name validation as
+in utils/common_util.cpp:312-315).
+"""
+from __future__ import annotations
+
+import os
+import re
+import threading
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
+
+
+def is_valid_name(name: str) -> bool:
+    """Names start with a letter or '_' and contain only letters, digits, '_'."""
+    return bool(_NAME_RE.match(name))
+
+
+def ensure_dir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    """Write via tmp file + fsync + rename so readers never see partial data."""
+    tmp = path + ".tmp"
+    ensure_dir(os.path.dirname(path) or ".")
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def atomic_write_text(path: str, text: str) -> None:
+    atomic_write_bytes(path, text.encode("utf-8"))
+
+
+class AtomicCounter:
+    """Monotonic counter with a lock (reference utils/atomic_counter.hpp)."""
+
+    def __init__(self, value: int = 0):
+        self._value = value
+        self._lock = threading.Lock()
+
+    def get(self) -> int:
+        with self._lock:
+            return self._value
+
+    def set_value(self, value: int) -> None:
+        with self._lock:
+            self._value = value
+
+    def increment_and_get(self) -> int:
+        with self._lock:
+            self._value += 1
+            return self._value
+
+    def set_if_greater(self, value: int) -> None:
+        with self._lock:
+            if value > self._value:
+                self._value = value
