@@ -1,0 +1,161 @@
+"""ANN graph build + beam search: recall vs brute-force ground truth.
+
+The reference validates graph correctness through rebuild tests
+(db_server.cpp RebuildDenseVector); here we additionally enforce a measured
+recall@10 floor against the exact oracle, which the reference lacks.
+"""
+import numpy as np
+import pytest
+
+import vectordb_tpu as vdb
+from vectordb_tpu.config import global_config
+from vectordb_tpu.index.graph import GraphIndex
+from vectordb_tpu.ops.knn import exact_knn
+from vectordb_tpu.schema import MetricType
+
+
+def make_data(n=5000, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    # Clustered data: harder for graphs than uniform noise.
+    centers = rng.normal(size=(20, d)) * 3
+    x = (centers[rng.integers(0, 20, n)]
+         + rng.normal(size=(n, d))).astype(np.float32)
+    return x
+
+
+def brute_topk(x, q, k, metric):
+    if metric == MetricType.EUCLIDEAN:
+        dmat = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    else:
+        ip = q @ x.T
+        dmat = 1.0 - ip if metric == MetricType.COSINE else -ip
+    return np.argsort(dmat, axis=1, kind="stable")[:, :k]
+
+
+class TestKnn:
+    def test_exact_knn_matches_oracle(self):
+        import jax.numpy as jnp
+        x = make_data(n=1000, d=16)
+        norms = (x ** 2).sum(1).astype(np.float32)
+        ids, d = exact_knn(jnp.asarray(x), jnp.asarray(norms), 1000, 5,
+                           MetricType.EUCLIDEAN)
+        oracle = brute_topk(x, x, 6, MetricType.EUCLIDEAN)[:, 1:]  # skip self
+        # approx_max_k may swap near-ties; demand >= 98% edge agreement.
+        agree = np.mean([len(set(ids[i]) & set(oracle[i])) / 5
+                         for i in range(1000)])
+        assert agree > 0.98, agree
+        assert not np.any(ids == np.arange(1000)[:, None])  # no self edges
+
+
+class TestGraphSearch:
+    @pytest.mark.parametrize("metric", [MetricType.EUCLIDEAN,
+                                        MetricType.COSINE])
+    def test_recall_at_10(self, tmp_path, metric):
+        n, dim = 5000, 32
+        x = make_data(n, dim)
+        if metric == MetricType.COSINE:
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+        mname = "EUCLIDEAN" if metric == MetricType.EUCLIDEAN else "COSINE"
+        vdb.load_db("gdb", str(tmp_path / "gdb"), vector_scale=n)
+        vdb.use_db("gdb")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+             "metricType": mname}])
+        vdb.insert("t", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+        assert vdb.rebuild() == 0
+
+        # The graph must actually be used now.
+        eng = vdb._engine()
+        table = eng.get_db("gdb").get_table("t")
+        assert table.graphs["V"] is not None
+        assert table.graphs["V"].num_rows == n
+
+        rng = np.random.default_rng(7)
+        queries = x[rng.integers(0, n, 50)] + rng.normal(
+            size=(50, dim)).astype(np.float32) * 0.01
+        if metric == MetricType.COSINE:
+            queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        gt = brute_topk(x, queries, 10, metric)
+        hits = 0
+        for i in range(50):
+            _, res = vdb.query("t", "V", queries[i].tolist(), ["ID"], 10)
+            got = {r["ID"] for r in res}
+            hits += len(got & set(gt[i].tolist()))
+        recall = hits / (50 * 10)
+        assert recall >= 0.99, f"recall@10 = {recall}"
+
+    def test_graph_persistence(self, tmp_path):
+        n, dim = 2000, 16
+        x = make_data(n, dim, seed=3)
+        vdb.load_db("pdb", str(tmp_path / "pdb"), vector_scale=n)
+        vdb.use_db("pdb")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+             "metricType": "EUCLIDEAN"}])
+        vdb.insert("t", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+        vdb.rebuild()
+        vdb.dump_db("pdb", str(tmp_path / "pdb"))
+        vdb.unload_db("pdb")
+
+        vdb.load_db("pdb", str(tmp_path / "pdb"), vector_scale=n)
+        vdb.use_db("pdb")
+        table = vdb._engine().get_db("pdb").get_table("t")
+        assert table.graphs["V"] is not None  # loaded from disk, not rebuilt
+        _, res = vdb.query("t", "V", x[99].tolist(), ["ID"], 1)
+        assert res[0]["ID"] == 99
+
+    def test_insert_after_build_tail(self, tmp_path):
+        """Rows inserted after the graph build must be searchable via the
+        brute-force tail (vec_search_executor.cpp:885-914 semantics)."""
+        n, dim = 1500, 16
+        x = make_data(n, dim, seed=4)
+        vdb.load_db("tdb", str(tmp_path / "tdb"), vector_scale=n + 10)
+        vdb.use_db("tdb")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+             "metricType": "EUCLIDEAN"}])
+        vdb.insert("t", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+        vdb.rebuild()
+        new_vec = (np.ones(dim) * 40.0).astype(np.float32)  # far outlier
+        vdb.insert("t", [{"ID": 99999, "V": new_vec.tolist()}])
+        _, res = vdb.query("t", "V", new_vec.tolist(), ["ID"], 1)
+        assert res[0]["ID"] == 99999
+
+    def test_delete_after_build(self, tmp_path):
+        n, dim = 1500, 16
+        x = make_data(n, dim, seed=5)
+        vdb.load_db("ddb", str(tmp_path / "ddb"), vector_scale=n)
+        vdb.use_db("ddb")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+             "metricType": "EUCLIDEAN"}])
+        vdb.insert("t", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+        vdb.rebuild()
+        _, res = vdb.query("t", "V", x[7].tolist(), ["ID"], 1)
+        assert res[0]["ID"] == 7
+        vdb.delete_by_pk("t", [7])
+        _, res = vdb.query("t", "V", x[7].tolist(), ["ID"], 5)
+        assert 7 not in [r["ID"] for r in res]
+        assert len(res) == 5  # full k returned despite the deletion
+
+    def test_filtered_graph_query_returns_full_k(self, tmp_path):
+        """Selective filters fall back to the masked flat scan so a full k
+        results come back (improvement over the reference post-filter)."""
+        n, dim = 2000, 16
+        x = make_data(n, dim, seed=6)
+        vdb.load_db("fdb", str(tmp_path / "fdb"), vector_scale=n)
+        vdb.use_db("fdb")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+             "metricType": "EUCLIDEAN"}])
+        vdb.insert("t", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+        vdb.rebuild()
+        # ~1% selectivity
+        _, res = vdb.query("t", "V", x[0].tolist(), ["ID"], 10, "ID < 20")
+        assert len(res) == 10
+        assert all(r["ID"] < 20 for r in res)

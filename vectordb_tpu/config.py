@@ -38,6 +38,12 @@ class Config:
         self.use_bf16_matmul = True   # bf16 MXU distance blocks with f32 accumulation
         self.brute_force_threshold = 512   # reference vec_search_executor.hpp:28
         self.rebuild_interval_s = 60.0     # reference db_server.hpp:21
+        # Graph build parameters (reference NSG: K=100, out_degree=50,
+        # ann_graph_segment.cpp:28-29; here: exact-KNN + alpha occlusion).
+        self.graph_knn_k = 64
+        self.graph_degree = 32
+        self.graph_alpha = 1.2
+        self.beam_expand = 4          # beam entries expanded per iteration
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
         """Apply a JSON config update.
@@ -107,6 +113,26 @@ class Config:
                 self.brute_force_threshold = int(cfg["BruteForceThreshold"])
             if "RebuildIntervalSeconds" in cfg:
                 self.rebuild_interval_s = float(cfg["RebuildIntervalSeconds"])
+            if "GraphKnnK" in cfg:
+                v = int(cfg["GraphKnnK"])
+                if not (4 <= v <= 512):
+                    return False, False
+                self.graph_knn_k = v
+            if "GraphDegree" in cfg:
+                v = int(cfg["GraphDegree"])
+                if not (4 <= v <= 256):
+                    return False, False
+                self.graph_degree = v
+            if "GraphAlpha" in cfg:
+                v = float(cfg["GraphAlpha"])
+                if not (1.0 <= v <= 2.0):
+                    return False, False
+                self.graph_alpha = v
+            if "BeamExpand" in cfg:
+                v = int(cfg["BeamExpand"])
+                if not (1 <= v <= 32):
+                    return False, False
+                self.beam_expand = v
         return True, swap
 
     def to_dict(self) -> Dict[str, Any]:
@@ -123,6 +149,10 @@ class Config:
             "UseBf16Matmul": self.use_bf16_matmul,
             "BruteForceThreshold": self.brute_force_threshold,
             "RebuildIntervalSeconds": self.rebuild_interval_s,
+            "GraphKnnK": self.graph_knn_k,
+            "GraphDegree": self.graph_degree,
+            "GraphAlpha": self.graph_alpha,
+            "BeamExpand": self.beam_expand,
         }
 
 

@@ -1,0 +1,331 @@
+"""ANN graph index: exact-KNN candidate generation + occlusion pruning.
+
+TPU-native replacement for the reference's KNN-graph + NSG build
+(/root/reference/engine/db/ann_graph_segment.cpp:201-242,
+db/index/nsg/nsg.cpp:45-99): the CSR adjacency becomes a fixed-degree padded
+`int32[N, R]` matrix (padding = -1) so traversal batches onto the MXU, and
+each build stage is a batched device kernel instead of per-node OpenMP loops:
+
+  1. exact KNN graph via blocked MXU matmuls (ops/knn.py) — replaces
+     NN-Descent (knn/nndescent.hpp) with a higher-quality exact neighborhood;
+  2. navigation point = row nearest the centroid (nsg.cpp:101-155);
+  3. occlusion pruning (the reference's SelectEdge rule, nsg.cpp:655-685,
+     generalized with Vamana's alpha) vectorized over node batches: one
+     [B, P, P] pairwise-distance block per batch + a lax.scan greedy select;
+  4. reverse-edge insertion (InterInsert, nsg.cpp:583-653) as a host-side
+     rank-capped scatter into the padded slack;
+  5. connectivity repair (CheckConnectivity, nsg.cpp:687-775) as a host BFS
+     from the navigation point, re-attaching stragglers through their
+     nearest already-connected KNN neighbor.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..logger import logger
+from ..ops.knn import exact_knn
+from ..schema import MetricType
+from ..utils import atomic_write_bytes
+
+# Build defaults; reference NSG uses K=100/out_degree=50
+# (ann_graph_segment.cpp:28-29). Degree 32 + alpha 1.2 + reverse slack
+# reaches recall@10 >= 0.99 at beam 128 on SIFT-class data with a cheaper
+# build and traversal.
+DEFAULT_KNN_K = 64
+DEFAULT_DEGREE = 32
+DEFAULT_ALPHA = 1.2
+PRUNE_BATCH = 2048
+# Coarse entry-point cover: every search seeds from its top representatives
+# (one small MXU block), so navigation never depends on a single entry
+# point's basin. Cover size scales with the table, capped for VMEM.
+MIN_REPS = 1024
+MAX_REPS = 16384
+
+
+def _make_rep_ids(n: int, nav: int) -> np.ndarray:
+    s = int(min(MAX_REPS, max(MIN_REPS, n // 16)))
+    s = min(s, n)
+    rng = np.random.default_rng(0)  # deterministic cover
+    reps = rng.choice(n, size=s, replace=False).astype(np.int32)
+    if nav not in reps:
+        reps[0] = nav
+    return reps
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "pool_size"))
+def _pool_kernel(node_ids, node_vecs, beam_ids, visited_ids, knn_batch,
+                 table, norms, metric: int, pool_size: int):
+    """Assemble each node's pruning pool: search results U search path U
+    exact KNN, deduped, self-excluded, sorted ascending by distance.
+
+    This is the TPU equivalent of NSG's GetNeighbors fullset
+    (nsg.cpp:158-486): the beam search path from the navigation point
+    contributes the long-range edges that make the graph navigable.
+    Returns (pool_ids [B, P] int32, pool_d [B, P] f32).
+    """
+    b = node_ids.shape[0]
+    cand = jnp.concatenate([beam_ids, visited_ids, knn_batch], axis=1)
+    cand = jnp.where(cand == node_ids[:, None], -1, cand)
+    safe = jnp.clip(cand, 0, table.shape[0] - 1)
+    p_all = cand.shape[1]
+    vecs = jnp.take(table, safe.reshape(-1), axis=0).reshape(b, p_all, -1)
+    v_norms = jnp.take(norms, safe.reshape(-1), axis=0).reshape(b, p_all)
+    q_norms = jnp.sum(node_vecs.astype(jnp.float32) ** 2, axis=1)
+    ip = jnp.einsum("bpd,bd->bp", vecs, node_vecs.astype(vecs.dtype),
+                    preferred_element_type=jnp.float32)
+    if metric == int(MetricType.EUCLIDEAN):
+        d = q_norms[:, None] - 2.0 * ip + v_norms
+    elif metric == int(MetricType.COSINE):
+        d = 1.0 - ip
+    else:
+        d = -ip
+    first_pos = jnp.argmax(cand[:, :, None] == cand[:, None, :], axis=2)
+    dup = first_pos != jax.lax.broadcasted_iota(jnp.int32, (b, p_all), 1)
+    d = jnp.where((cand < 0) | dup, jnp.inf, d)
+    sd, sids = jax.lax.sort((d, cand), dimension=1, num_keys=1)
+    return sids[:, :pool_size], sd[:, :pool_size]
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "degree"))
+def _prune_batch_kernel(pool_vecs, pool_d, pool_valid, metric: int,
+                        degree: int, alpha: float):
+    """Greedy occlusion select over each node's candidate pool.
+
+    pool_vecs: [B, P, D] candidate vectors (sorted ascending by pool_d)
+    pool_d:    [B, P] f32 distance node -> candidate
+    pool_valid:[B, P] bool
+    Returns selected mask [B, P] (at most `degree` True per row).
+
+    Rule (SelectEdge occlusion, nsg.cpp:655-685 / Vamana alpha-RNG):
+    candidate j survives iff d(node, j) < alpha * d(s, j) for every
+    already-selected s.
+    """
+    b, p, dd = pool_vecs.shape
+    # Pairwise distances among pool members, one MXU block per node.
+    ip = jnp.einsum("bpd,bqd->bpq", pool_vecs, pool_vecs,
+                    preferred_element_type=jnp.float32)
+    if metric == int(MetricType.EUCLIDEAN):
+        sq = jnp.einsum("bpd,bpd->bp", pool_vecs, pool_vecs,
+                        preferred_element_type=jnp.float32)
+        pw = sq[:, :, None] - 2.0 * ip + sq[:, None, :]
+    elif metric == int(MetricType.COSINE):
+        pw = 1.0 - ip
+    else:
+        pw = -ip
+
+    def step(state, j):
+        run_min, count = state
+        keep = (pool_valid[:, j] & (count < degree)
+                & (pool_d[:, j] < alpha * run_min[:, j]))
+        run_min = jnp.where(keep[:, None],
+                            jnp.minimum(run_min, pw[:, j, :]), run_min)
+        count = count + keep.astype(jnp.int32)
+        return (run_min, count), keep
+
+    init = (jnp.full((b, p), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((b,), dtype=jnp.int32))
+    _, kept = jax.lax.scan(step, init, jnp.arange(p))
+    return kept.T  # [B, P]
+
+
+class GraphIndex:
+    """Immutable fixed-degree search graph over rows [0, num_rows) of a
+    dense vector column (the reference's ANNGraphSegment role)."""
+
+    def __init__(self, segment, field_name: str, metric: MetricType,
+                 adjacency_host: np.ndarray, nav_point: int, num_rows: int):
+        self.segment = segment
+        self.field_name = field_name
+        self.metric = metric
+        self.adjacency_host = adjacency_host  # [num_rows, R_total] int32
+        self.nav_point = int(nav_point)
+        self.num_rows = int(num_rows)
+        self._adjacency_dev = None
+        self._rep_ids_dev = None
+        self.rep_ids_host = _make_rep_ids(num_rows, nav_point)
+
+    # Device views -----------------------------------------------------
+
+    @property
+    def adjacency(self):
+        if self._adjacency_dev is None:
+            self._adjacency_dev = jnp.asarray(self.adjacency_host)
+        return self._adjacency_dev
+
+    @property
+    def rep_ids(self):
+        if self._rep_ids_dev is None:
+            self._rep_ids_dev = jnp.asarray(self.rep_ids_host)
+        return self._rep_ids_dev
+
+    @property
+    def table(self):
+        return self.segment.device_view(self.field_name).buf
+
+    @property
+    def norms(self):
+        return self.segment.device_view(self.field_name).norms
+
+    # Build ------------------------------------------------------------
+
+    @classmethod
+    def build(cls, segment, field_name: str, metric: MetricType,
+              knn_k: int = DEFAULT_KNN_K, degree: int = DEFAULT_DEGREE,
+              alpha: float = DEFAULT_ALPHA) -> "GraphIndex":
+        store = segment.device_view(field_name)
+        n = segment.record_number
+        knn_k = min(knn_k, n - 1)
+        degree = min(degree, knn_k)
+
+        # 1. Exact KNN graph (MXU).
+        knn_ids, knn_d = exact_knn(store.buf, store.norms, n, knn_k, metric)
+
+        # 2. Navigation point: nearest row to the centroid
+        #    (nsg.cpp:101-155). One flat scan with the centroid as query.
+        host = segment.dense_host[field_name][:n]
+        centroid = host.mean(axis=0, dtype=np.float64).astype(np.float32)
+        cp = np.zeros((1, store.dim_padded), dtype=np.float32)
+        cp[0, : store.dim] = centroid
+        from ..ops.flat import flat_topk
+        mask = np.zeros(store.capacity, dtype=bool)
+        mask[:n] = True
+        _, nav_ids = flat_topk(jnp.asarray(cp), store.buf, store.norms,
+                               jnp.asarray(mask), MetricType.EUCLIDEAN, 1)
+        nav = int(np.asarray(nav_ids)[0, 0])
+
+        # 3. Candidate pools via batched beam search from the navigation
+        #    point over a bootstrap KNN graph (the role of NSG GetNeighbors,
+        #    nsg.cpp:158-486), then occlusion pruning — all in node batches
+        #    on device.
+        from ..ops.beam import beam_search_kernel
+
+        r_total = degree * 2
+        boot_adj = jnp.asarray(
+            np.where(knn_ids[:, :r_total] >= 0,
+                     knn_ids[:, :r_total], -1).astype(np.int32))
+        boot_reps = jnp.asarray(_make_rep_ids(n, nav))
+        pool_size = min(128, max(degree * 2, 64))
+        search_l = 64
+        search_iters = 32
+
+        fwd = np.full((n, degree), -1, dtype=np.int32)
+        for start in range(0, n, PRUNE_BATCH):
+            stop = min(start + PRUNE_BATCH, n)
+            b = stop - start
+            node_ids = jnp.asarray(
+                np.arange(start, stop, dtype=np.int32))
+            node_vecs_f32 = np.zeros((b, store.dim_padded), dtype=np.float32)
+            node_vecs_f32[:, : store.dim] = host[start:stop]
+            node_vecs = jnp.asarray(node_vecs_f32)
+            _, s_ids, s_vis = beam_search_kernel(
+                node_vecs, store.buf, store.norms, boot_adj, boot_reps,
+                int(metric), search_l, 4, search_iters)
+            pool_ids, pool_d = _pool_kernel(
+                node_ids, node_vecs, s_ids, s_vis,
+                jnp.asarray(knn_ids[start:stop]), store.buf, store.norms,
+                int(metric), pool_size)
+            safe = jnp.clip(pool_ids, 0, store.capacity - 1)
+            pool_vecs = jnp.take(store.buf, safe.reshape(-1),
+                                 axis=0).reshape(b, pool_size, -1)
+            kept = np.asarray(_prune_batch_kernel(
+                pool_vecs, pool_d, jnp.isfinite(pool_d),
+                int(metric), degree, float(alpha)))
+            pool_ids_h = np.asarray(pool_ids)
+            for i in range(b):
+                sel = pool_ids_h[i][kept[i]][:degree]
+                fwd[start + i, : len(sel)] = sel
+
+        # 4. Reverse edges into the padded slack (rank-capped).
+        adjacency = np.full((n, r_total), -1, dtype=np.int32)
+        adjacency[:, :degree] = fwd
+        fill = (fwd >= 0).sum(axis=1).astype(np.int32)
+        src = np.repeat(np.arange(n, dtype=np.int32), degree)
+        dst = fwd.reshape(-1)
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+        # Reverse candidates arrive in source-rank order; cap per node.
+        order = np.argsort(dst, kind="stable")
+        for v, u in zip(dst[order], src[order]):
+            f = fill[v]
+            if f < r_total:
+                adjacency[v, f] = u
+                fill[v] = f + 1
+
+        # 5. Connectivity repair (role of CheckConnectivity,
+        #    nsg.cpp:687-775): BFS from nav; while components remain
+        #    unreached, bridge each one to its nearest already-reached node
+        #    (found with a masked device flat scan) with a bidirectional
+        #    edge, then absorb the component.
+        from ..ops.flat import flat_topk
+
+        def absorb(start_ids, reached):
+            frontier = np.asarray(start_ids, dtype=np.int64)
+            reached[frontier] = True
+            while len(frontier):
+                nxt = adjacency[frontier].reshape(-1)
+                nxt = nxt[nxt >= 0]
+                nxt = np.unique(nxt)
+                nxt = nxt[~reached[nxt]]
+                reached[nxt] = True
+                frontier = nxt
+
+        def add_edge(u, v):
+            f = fill[u]
+            slot = f if f < r_total else r_total - 1
+            adjacency[u, slot] = v
+            fill[u] = min(f + 1, r_total)
+
+        # Multi-source: every representative is a potential search seed, so
+        # reachability from the rep cover is what matters.
+        reached = np.zeros(n, dtype=bool)
+        absorb(_make_rep_ids(n, nav), reached)
+        n_components = 0
+        while not reached.all():
+            u0 = int(np.argmin(reached))  # first unreached node
+            rmask = np.zeros(store.capacity, dtype=bool)
+            rmask[:n] = reached
+            qp = np.zeros((1, store.dim_padded), dtype=np.float32)
+            qp[0, : store.dim] = host[u0]
+            _, vids = flat_topk(jnp.asarray(qp), store.buf, store.norms,
+                                jnp.asarray(rmask), metric, 1)
+            v = int(np.asarray(vids)[0, 0])
+            add_edge(v, u0)
+            add_edge(u0, v)
+            absorb([u0], reached)
+            n_components += 1
+        if n_components:
+            logger.info(f"Graph repair: bridged {n_components} disconnected "
+                        "components")
+
+        return cls(segment, field_name, metric, adjacency, nav, n)
+
+    # Persistence (role of ann_graph_<field>.bin,
+    # ann_graph_segment.cpp:156-199). ------------------------------------
+
+    def save(self, path: str) -> None:
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, adjacency=self.adjacency_host,
+                 meta=np.frombuffer(json.dumps({
+                     "nav_point": self.nav_point,
+                     "num_rows": self.num_rows,
+                     "metric": int(self.metric),
+                     "field": self.field_name,
+                 }).encode("utf-8"), dtype=np.uint8))
+        atomic_write_bytes(path, buf.getvalue())
+
+    @classmethod
+    def load(cls, path: str, segment, field_name: str) -> "GraphIndex":
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
+            adjacency = z["adjacency"]
+        return cls(segment, field_name, MetricType(meta["metric"]),
+                   adjacency, meta["nav_point"], meta["num_rows"])

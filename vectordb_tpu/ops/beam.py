@@ -1,0 +1,187 @@
+"""Batched best-first beam search over a fixed-degree KNN/NSG-style graph.
+
+TPU-native replacement for the reference's multi-queue parallel graph
+traversal (/root/reference/engine/db/execution/vec_search_executor.cpp:
+384-715). The reference parallelizes ONE query across OpenMP threads with
+per-thread sorted-insert queues merged into a master queue; on TPU the
+idiomatic equivalent (CAGRA-style) is a *batch* of queries each holding a
+sorted beam in registers/VMEM, advanced in lockstep:
+
+  iteration = pick top-M unexpanded beam entries
+            -> gather their adjacency rows    (HBM gather)
+            -> dedup against the beam         (VPU compare)
+            -> distance block vs the query    (MXU)
+            -> merge + re-sort beam           (XLA sort)
+
+All shapes are static (beam L, degree R, expansion M), so the whole search
+jits into one XLA program with a `lax.while_loop` whose predicate is the
+batched convergence mask ("no unexpanded entry left in any beam").
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schema import MetricType
+
+DEFAULT_EXPAND = 4  # beam entries expanded per iteration (M)
+
+
+def _cand_scores(q, vecs, q_norms, v_norms, metric: int):
+    """q [B, D], vecs [B, C, D] -> [B, C] distances (f32 accumulate)."""
+    ip = jnp.einsum("bcd,bd->bc", vecs, q,
+                    preferred_element_type=jnp.float32)
+    if metric == int(MetricType.EUCLIDEAN):
+        return q_norms[:, None] - 2.0 * ip + v_norms
+    if metric == int(MetricType.COSINE):
+        return 1.0 - ip
+    return -ip
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "beam_width", "expand", "max_iters",
+                     "num_seeds"))
+def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
+                       metric: int, beam_width: int, expand: int,
+                       max_iters: int, num_seeds: int = 32):
+    """One jitted program: seed-scan -> while(!converged) expand -> beam.
+
+    queries:   [B, D]  f32 (already padded to the table's lane width)
+    table:     [N_pad, D] store dtype (bf16/f32)
+    norms:     [N_pad] f32 squared norms (EUCLIDEAN)
+    adjacency: [N_pad, R] int32, padded entries < 0
+    rep_ids:   [S] int32 representative rows (navigation point + a sampled
+               coarse cover of the table)
+
+    Seeding: instead of a single navigation point (reference
+    PrepareInitIds, vec_search_executor.cpp:487-516), every query scores
+    ALL representatives with one small MXU block and seeds its beam with
+    its own top-`num_seeds` — an IVF-style coarse probe that costs one
+    [B, S] matmul and makes navigation robust to clustered data where a
+    single entry point strands the search in one basin.
+
+    Returns (beam_d [B, L] f32 asc, beam_ids [B, L] int32,
+    visited [B, M*max_iters] int32 — the expansion history, used as the
+    graph-construction candidate pool).
+    """
+    b, d = queries.shape
+    L = beam_width
+    M = expand
+    R = adjacency.shape[1]
+    C = M * R
+    q = queries.astype(table.dtype)
+    q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)
+
+    # ---- entry-point scan over the representatives -------------------
+    s_reps = rep_ids.shape[0]
+    n_seed = min(num_seeds, s_reps, L)
+    rep_vecs = jnp.take(table, rep_ids, axis=0)                # [S, D]
+    rep_norms = jnp.take(norms, rep_ids, axis=0)
+    ip = jax.lax.dot_general(q, rep_vecs,
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if metric == int(MetricType.EUCLIDEAN):
+        rep_d = q_norms[:, None] - 2.0 * ip + rep_norms[None, :]
+    elif metric == int(MetricType.COSINE):
+        rep_d = 1.0 - ip
+    else:
+        rep_d = -ip
+    neg_top, top_idx = jax.lax.top_k(-rep_d, n_seed)           # [B, n_seed]
+    seed_ids = jnp.take(rep_ids, top_idx)                      # [B, n_seed]
+    seed_d = -neg_top
+
+    pad = L - n_seed
+    beam_ids = jnp.pad(seed_ids, ((0, 0), (0, pad)), constant_values=-1)
+    beam_d = jnp.pad(seed_d, ((0, 0), (0, pad)),
+                     constant_values=jnp.inf)
+    beam_exp = jnp.zeros((b, L), dtype=jnp.bool_)
+
+    beam_pos = jax.lax.broadcasted_iota(jnp.int32, (b, L), 1)
+
+    # Visited history: the ids expanded at each iteration, used as the
+    # candidate pool for graph construction (the role of NSG's fullset in
+    # GetNeighbors, nsg.cpp:158-486).
+    visited = jnp.full((b, M * max_iters), -1, dtype=jnp.int32)
+
+    def cond(state):
+        _, beam_exp, beam_d, _, it = state
+        has_work = jnp.any(~beam_exp & jnp.isfinite(beam_d))
+        return jnp.logical_and(it < max_iters, has_work)
+
+    def body(state):
+        beam_ids, beam_exp, beam_d, visited, it = state
+        # -- pick the M best unexpanded entries ------------------------
+        pick_score = jnp.where(beam_exp | ~jnp.isfinite(beam_d),
+                               jnp.inf, beam_d)
+        _, pick_idx = jax.lax.top_k(-pick_score, M)  # [B, M] beam positions
+        picked_valid = jnp.isfinite(
+            jnp.take_along_axis(pick_score, pick_idx, axis=1))
+        picked_ids = jnp.take_along_axis(beam_ids, pick_idx, axis=1)
+        # mark as expanded
+        onehot = jnp.any(beam_pos[:, None, :] == pick_idx[:, :, None], axis=1)
+        beam_exp = beam_exp | onehot
+        visited = jax.lax.dynamic_update_slice(
+            visited, jnp.where(picked_valid, picked_ids, -1), (0, it * M))
+
+        # -- gather adjacency + candidate vectors ----------------------
+        safe_ids = jnp.clip(picked_ids, 0, adjacency.shape[0] - 1)
+        cand = jnp.take(adjacency, safe_ids.reshape(-1), axis=0).reshape(b, C)
+        cand = jnp.where(
+            jnp.repeat(picked_valid, R, axis=1), cand, -1)
+
+        # invalid: padding edges, already in beam, duplicate in candidates
+        in_beam = jnp.any(cand[:, :, None] == beam_ids[:, None, :], axis=2)
+        first_pos = jnp.argmax(cand[:, :, None] == cand[:, None, :], axis=2)
+        dup = first_pos != jax.lax.broadcasted_iota(jnp.int32, (b, C), 1)
+        bad = (cand < 0) | in_beam | dup
+
+        safe_cand = jnp.clip(cand, 0, table.shape[0] - 1)
+        vecs = jnp.take(table, safe_cand.reshape(-1), axis=0).reshape(b, C, d)
+        v_norms = jnp.take(norms, safe_cand.reshape(-1), axis=0).reshape(b, C)
+        cand_d = _cand_scores(q, vecs, q_norms, v_norms, metric)
+        cand_d = jnp.where(bad, jnp.inf, cand_d)
+        cand_ids = jnp.where(bad, -1, cand)
+
+        # -- merge + keep best L ---------------------------------------
+        all_d = jnp.concatenate([beam_d, cand_d], axis=1)
+        all_ids = jnp.concatenate([beam_ids, cand_ids], axis=1)
+        all_exp = jnp.concatenate(
+            [beam_exp, jnp.zeros((b, C), dtype=jnp.bool_)], axis=1)
+        sd, sids, sexp = jax.lax.sort((all_d, all_ids, all_exp),
+                                      dimension=1, num_keys=1)
+        return (sids[:, :L], sexp[:, :L], sd[:, :L], visited, it + 1)
+
+    state = (beam_ids, beam_exp, beam_d, visited, jnp.int32(0))
+    beam_ids, beam_exp, beam_d, visited, _ = jax.lax.while_loop(
+        cond, body, state)
+    return beam_d, beam_ids, visited
+
+
+def beam_search(graph, queries: np.ndarray, valid: np.ndarray,
+                metric: MetricType, beam_width: int = 128,
+                expand: int = DEFAULT_EXPAND,
+                max_iters: int = 0, num_seeds: int = 32) -> np.ndarray:
+    """Search `graph` (a GraphIndex) for a [B, D] query batch.
+
+    Returns candidate ids [B, beam_width] int32 (unfiltered, may contain -1
+    padding); the caller applies validity filtering and exact re-ranking —
+    matching the reference's post-filter top-L scan
+    (vec_search_executor.cpp:906-927).
+    """
+    b, dim = queries.shape
+    qp = np.zeros((b, graph.table.shape[1]), dtype=np.float32)
+    qp[:, :dim] = queries
+    if max_iters <= 0:
+        max_iters = beam_width
+    d, ids, _ = beam_search_kernel(
+        jnp.asarray(qp), graph.table, graph.norms, graph.adjacency,
+        graph.rep_ids, int(metric), int(beam_width), int(expand),
+        int(max_iters), num_seeds)
+    ids = np.asarray(ids).astype(np.int64)
+    ids[~np.isfinite(np.asarray(d))] = -1
+    return ids

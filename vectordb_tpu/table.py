@@ -243,7 +243,12 @@ class Table:
             from .ops import beam as beam_ops
             cand_ids = beam_ops.beam_search(
                 graph, queries, valid, metric,
-                beam_width=max(self.config.search_ef, k_eff + RERANK_SLACK))
+                beam_width=max(self.config.search_ef, k_eff + RERANK_SLACK),
+                expand=self.config.beam_expand)
+            # Validity filter on graph candidates (deleted / filtered rows
+            # are traversed but never returned — reference post-filter).
+            safe = np.clip(cand_ids, 0, len(valid) - 1)
+            cand_ids = np.where((cand_ids >= 0) & valid[safe], cand_ids, -1)
             # Brute-force tail over rows inserted after the graph was built.
             tail_start = graph.num_rows
             if n > tail_start:
@@ -251,6 +256,15 @@ class Table:
                     field_name, queries, valid, metric,
                     min(k_eff + RERANK_SLACK, n), row_start=tail_start)
                 cand_ids = np.concatenate([cand_ids, t_ids], axis=1)
+            # Selective-filter fallback: if the beam did not surface enough
+            # valid rows, top up with a masked flat scan (guarantees full-k
+            # results, unlike the reference's may-return-fewer post-filter).
+            per_query_valid = (cand_ids >= 0).sum(axis=1)
+            if per_query_valid.min() < min(k_eff, n_alive):
+                f_ids, _ = self._flat_candidates(
+                    field_name, queries, valid, metric,
+                    min(k_eff + RERANK_SLACK, max(n_alive, 1)))
+                cand_ids = np.concatenate([cand_ids, f_ids], axis=1)
         else:
             cand_ids, _ = self._flat_candidates(
                 field_name, queries, valid, metric,
@@ -451,7 +465,10 @@ class Table:
                 try:
                     from .index.graph import GraphIndex
                     g = GraphIndex.build(self.segment, f.name,
-                                         self.metric_map[f.name])
+                                         self.metric_map[f.name],
+                                         knn_k=self.config.graph_knn_k,
+                                         degree=self.config.graph_degree,
+                                         alpha=self.config.graph_alpha)
                     g.save(self._graph_path(f.name))
                     with self.graph_lock:
                         self.graphs[f.name] = g
