@@ -39,6 +39,7 @@ class TestKnn:
         norms = (x ** 2).sum(1).astype(np.float32)
         ids, d = exact_knn(jnp.asarray(x), jnp.asarray(norms), 1000, 5,
                            MetricType.EUCLIDEAN)
+        ids = np.asarray(ids)
         oracle = brute_topk(x, x, 6, MetricType.EUCLIDEAN)[:, 1:]  # skip self
         # approx_max_k may swap near-ties; demand >= 98% edge agreement.
         agree = np.mean([len(set(ids[i]) & set(oracle[i])) / 5

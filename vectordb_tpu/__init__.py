@@ -17,6 +17,10 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Tuple
 
+from ._jax_setup import configure_jax
+
+configure_jax()
+
 from .config import global_config
 from .db_server import DBServer
 from .errors import Status, VectorDBError

@@ -93,6 +93,37 @@ def _pool_kernel(node_ids, node_vecs, beam_ids, visited_ids, knn_batch,
     return sids[:, :pool_size], sd[:, :pool_size]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "degree", "pool_size", "search_l",
+                     "search_iters", "batch"))
+def _build_batch_kernel(start, table, norms, boot_adj, boot_reps, knn_ids,
+                        alpha, metric: int, degree: int, pool_size: int,
+                        search_l: int, search_iters: int, batch: int):
+    """One compiled program for a whole build batch: slice nodes at a
+    DYNAMIC offset, beam-search their pools over the bootstrap graph,
+    assemble + prune — so the build loop launches a single executable per
+    batch with zero per-batch recompilation."""
+    from ..ops.beam import beam_search_kernel
+
+    node_vecs = jax.lax.dynamic_slice(
+        table, (start, 0), (batch, table.shape[1])).astype(jnp.float32)
+    node_ids = start + jnp.arange(batch, dtype=jnp.int32)
+    _, s_ids, s_vis = beam_search_kernel(
+        node_vecs, table, norms, boot_adj, boot_reps, metric, search_l, 4,
+        search_iters)
+    knn_b = jax.lax.dynamic_slice(
+        knn_ids, (start, 0), (batch, knn_ids.shape[1]))
+    pool_ids, pool_d = _pool_kernel(node_ids, node_vecs, s_ids, s_vis,
+                                    knn_b, table, norms, metric, pool_size)
+    safe = jnp.clip(pool_ids, 0, table.shape[0] - 1)
+    pool_vecs = jnp.take(table, safe.reshape(-1),
+                         axis=0).reshape(batch, pool_size, -1)
+    kept = _prune_batch_kernel(pool_vecs, pool_d, jnp.isfinite(pool_d),
+                               metric, degree, alpha)
+    return pool_ids, kept
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "degree"))
 def _prune_batch_kernel(pool_vecs, pool_d, pool_valid, metric: int,
                         degree: int, alpha: float):
@@ -179,14 +210,30 @@ class GraphIndex:
     def build(cls, segment, field_name: str, metric: MetricType,
               knn_k: int = DEFAULT_KNN_K, degree: int = DEFAULT_DEGREE,
               alpha: float = DEFAULT_ALPHA) -> "GraphIndex":
+        import time as _time
+
+        t_start = _time.perf_counter()
+
+        def _lap(phase, t=[None]):
+            now = _time.perf_counter()
+            if t[0] is not None:
+                logger.debug(f"graph build phase {t[0][0]}: "
+                             f"{now - t[0][1]:.2f}s")
+            t[0] = (phase, now)
+
+        _lap("sync")
         store = segment.device_view(field_name)
         n = segment.record_number
         knn_k = min(knn_k, n - 1)
         degree = min(degree, knn_k)
 
-        # 1. Exact KNN graph (MXU).
+        # 1. Exact KNN graph (MXU). Stays on device — host/device round
+        #    trips dominate wall clock in this deployment, so the whole
+        #    build pipeline computes on device and fetches once at the end.
+        _lap("knn")
         knn_ids, knn_d = exact_knn(store.buf, store.norms, n, knn_k, metric)
 
+        _lap("nav")
         # 2. Navigation point: nearest row to the centroid
         #    (nsg.cpp:101-155). One flat scan with the centroid as query.
         host = segment.dense_host[field_name][:n]
@@ -204,59 +251,71 @@ class GraphIndex:
         #    point over a bootstrap KNN graph (the role of NSG GetNeighbors,
         #    nsg.cpp:158-486), then occlusion pruning — all in node batches
         #    on device.
-        from ..ops.beam import beam_search_kernel
-
         r_total = degree * 2
-        boot_adj = jnp.asarray(
-            np.where(knn_ids[:, :r_total] >= 0,
-                     knn_ids[:, :r_total], -1).astype(np.int32))
+        knn_r = knn_ids[:, :r_total]
+        if knn_r.shape[1] < r_total:
+            knn_r = jnp.pad(knn_r, ((0, 0), (0, r_total - knn_r.shape[1])),
+                            constant_values=-1)
+        boot_adj = jnp.where(knn_r >= 0, knn_r, -1).astype(jnp.int32)
         boot_reps = jnp.asarray(_make_rep_ids(n, nav))
         pool_size = min(128, max(degree * 2, 64))
         search_l = 64
         search_iters = 32
 
-        fwd = np.full((n, degree), -1, dtype=np.int32)
-        for start in range(0, n, PRUNE_BATCH):
-            stop = min(start + PRUNE_BATCH, n)
-            b = stop - start
-            node_ids = jnp.asarray(
-                np.arange(start, stop, dtype=np.int32))
-            node_vecs_f32 = np.zeros((b, store.dim_padded), dtype=np.float32)
-            node_vecs_f32[:, : store.dim] = host[start:stop]
-            node_vecs = jnp.asarray(node_vecs_f32)
-            _, s_ids, s_vis = beam_search_kernel(
-                node_vecs, store.buf, store.norms, boot_adj, boot_reps,
-                int(metric), search_l, 4, search_iters)
-            pool_ids, pool_d = _pool_kernel(
-                node_ids, node_vecs, s_ids, s_vis,
-                jnp.asarray(knn_ids[start:stop]), store.buf, store.norms,
-                int(metric), pool_size)
-            safe = jnp.clip(pool_ids, 0, store.capacity - 1)
-            pool_vecs = jnp.take(store.buf, safe.reshape(-1),
-                                 axis=0).reshape(b, pool_size, -1)
-            kept = np.asarray(_prune_batch_kernel(
-                pool_vecs, pool_d, jnp.isfinite(pool_d),
-                int(metric), degree, float(alpha)))
-            pool_ids_h = np.asarray(pool_ids)
-            for i in range(b):
-                sel = pool_ids_h[i][kept[i]][:degree]
-                fwd[start + i, : len(sel)] = sel
+        # Fixed-size node batches at dynamic offsets -> exactly one compiled
+        # executable for the whole loop; results accumulate on device and
+        # are fetched once.
+        _lap("pool+prune")
+        n_rows_knn = knn_ids.shape[0]
+        batch = min(PRUNE_BATCH, n_rows_knn)
+        kept_parts = []
+        pool_parts = []
+        for start in range(0, n_rows_knn, batch):
+            if start >= n:
+                break
+            real_start = start
+            if start + batch > n_rows_knn:
+                real_start = n_rows_knn - batch  # overlap tail, same shape
+            pool_ids, kept = _build_batch_kernel(
+                jnp.int32(real_start), store.buf, store.norms, boot_adj,
+                boot_reps, knn_ids, float(alpha), int(metric), degree,
+                pool_size, search_l, search_iters, batch)
+            if real_start != start:
+                delta = start - real_start
+                pool_ids, kept = pool_ids[delta:], kept[delta:]
+            kept_parts.append(kept)
+            pool_parts.append(pool_ids)
+        # Single device->host fetch of the whole pruned edge set.
+        _lap("fetch")
+        kept_h = np.asarray(jnp.concatenate(kept_parts, axis=0))[:n]
+        pool_h = np.asarray(jnp.concatenate(pool_parts, axis=0))[:n]
+        _lap("edges")
+        # Vectorized forward-edge extraction: kept-first stable order.
+        order = np.argsort(~kept_h, axis=1, kind="stable")[:, :degree]
+        cand = np.take_along_axis(pool_h, order, axis=1)
+        counts = kept_h.sum(axis=1)
+        col = np.arange(degree)[None, :]
+        fwd = np.where(col < counts[:, None], cand, -1).astype(np.int32)
 
-        # 4. Reverse edges into the padded slack (rank-capped).
+        # 4. Reverse edges into the padded slack (rank-capped), fully
+        #    vectorized: group reverse candidates by destination and write
+        #    each group's prefix into the free slots.
         adjacency = np.full((n, r_total), -1, dtype=np.int32)
         adjacency[:, :degree] = fwd
-        fill = (fwd >= 0).sum(axis=1).astype(np.int32)
+        fill = (fwd >= 0).sum(axis=1).astype(np.int64)
         src = np.repeat(np.arange(n, dtype=np.int32), degree)
         dst = fwd.reshape(-1)
         ok = dst >= 0
         src, dst = src[ok], dst[ok]
-        # Reverse candidates arrive in source-rank order; cap per node.
         order = np.argsort(dst, kind="stable")
-        for v, u in zip(dst[order], src[order]):
-            f = fill[v]
-            if f < r_total:
-                adjacency[v, f] = u
-                fill[v] = f + 1
+        dsts, srcs = dst[order], src[order]
+        uniq, first_idx, cnt = np.unique(dsts, return_index=True,
+                                         return_counts=True)
+        rank = np.arange(len(dsts)) - np.repeat(first_idx, cnt)
+        slots = fill[dsts] + rank
+        in_range = slots < r_total
+        adjacency[dsts[in_range], slots[in_range]] = srcs[in_range]
+        fill = (adjacency >= 0).sum(axis=1).astype(np.int64)
 
         # 5. Connectivity repair (role of CheckConnectivity,
         #    nsg.cpp:687-775): BFS from nav; while components remain
@@ -282,6 +341,7 @@ class GraphIndex:
             adjacency[u, slot] = v
             fill[u] = min(f + 1, r_total)
 
+        _lap("repair")
         # Multi-source: every representative is a potential search seed, so
         # reachability from the rep cover is what matters.
         reached = np.zeros(n, dtype=bool)
@@ -304,6 +364,9 @@ class GraphIndex:
             logger.info(f"Graph repair: bridged {n_components} disconnected "
                         "components")
 
+        _lap("done")
+        logger.info(f"Graph build: {n} rows, degree {degree}x2, "
+                    f"{_time.perf_counter() - t_start:.1f}s")
         return cls(segment, field_name, metric, adjacency, nav, n)
 
     # Persistence (role of ann_graph_<field>.bin,

@@ -38,18 +38,24 @@ def _scores(q, tab, q_norms, t_norms, metric: int):
     return -ip
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k", "chunk"))
-def _knn_block(q, q_norms, q_base, table, t_norms, n_valid,
-               metric: int, k: int, chunk: int):
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "k", "chunk", "block"))
+def _knn_block(q_base, table, t_norms, n_valid,
+               metric: int, k: int, chunk: int, block: int):
     """Top-k over the whole table for one query block, excluding self.
 
-    table is [N_pad, D] with N_pad % chunk == 0; rows >= n_valid are masked.
+    The query block is sliced out of the table at DYNAMIC offset q_base so
+    one compiled executable serves every block (remote compilation is
+    expensive in this deployment). table is [N_pad, D] with
+    N_pad % chunk == 0; rows >= n_valid are masked.
     Per chunk: approx_max_k (fast PartialReduce on TPU) with generous
     oversampling, then one exact top_k merge across chunks.
     """
     n_pad = table.shape[0]
     n_chunks = n_pad // chunk
-    b = q.shape[0]
+    b = block
+    q = jax.lax.dynamic_slice(table, (q_base, 0), (block, table.shape[1]))
+    q_norms = jax.lax.dynamic_slice(t_norms, (q_base,), (block,))
     table_c = table.reshape(n_chunks, chunk, table.shape[1])
     t_norms_c = t_norms.reshape(n_chunks, chunk)
 
@@ -81,25 +87,40 @@ def _knn_block(q, q_norms, q_base, table, t_norms, n_valid,
 
 def exact_knn(table: jnp.ndarray, norms: jnp.ndarray, n: int, k: int,
               metric: MetricType, query_block: int = DEFAULT_QUERY_BLOCK,
-              chunk: int = DEFAULT_CHUNK) -> Tuple[np.ndarray, np.ndarray]:
+              chunk: int = DEFAULT_CHUNK) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KNN graph over rows [0, n) of a device table [N_pad, D].
 
-    Returns (ids [n, k] int32, dists [n, k] f32), neighbors sorted ascending
-    by distance, self excluded. Rows >= n in the padded table are ignored.
+    Returns DEVICE arrays (ids [n_pad_qb, k] int32, dists f32) covering at
+    least rows [0, n), neighbors sorted ascending by distance, self
+    excluded. Results stay on device — host/device round trips are the
+    dominant cost in this deployment, so callers fetch once at the end.
+
+    All query blocks have identical shape (the table is padded), so the
+    kernel compiles exactly once per table size.
     """
     n_pad = table.shape[0]
     chunk = min(chunk, n_pad)
     if n_pad % chunk != 0:
         chunk = n_pad  # single chunk fallback for small pads
     k = min(k, max(n - 1, 1))
-    out_ids = np.empty((n, k), dtype=np.int32)
-    out_d = np.empty((n, k), dtype=np.float32)
-    for start in range(0, n, query_block):
-        stop = min(start + query_block, n)
-        q = table[start:stop]
-        qn = norms[start:stop]
-        d, ids = _knn_block(q, qn, start, table, norms, n,
-                            int(metric), k, chunk)
-        out_ids[start:stop] = np.asarray(ids)
-        out_d[start:stop] = np.asarray(d)
-    return out_ids, out_d
+    query_block = min(query_block, n_pad)
+    parts_d = []
+    parts_i = []
+    # Iterate over the padded row space so every block has the same shape
+    # and a dynamic offset; rows >= n produce garbage callers slice away.
+    for start in range(0, n_pad, query_block):
+        if start >= n:
+            break
+        real_start = start
+        if start + query_block > n_pad:
+            real_start = n_pad - query_block  # overlap tail: shape static
+        d, ids = _knn_block(jnp.int32(real_start), table, norms, n,
+                            int(metric), k, chunk, query_block)
+        if real_start != start:
+            delta = start - real_start
+            d, ids = d[delta:], ids[delta:]
+        parts_d.append(d)
+        parts_i.append(ids)
+    ids_all = jnp.concatenate(parts_i, axis=0)
+    d_all = jnp.concatenate(parts_d, axis=0)
+    return ids_all, d_all
