@@ -235,17 +235,13 @@ class GraphIndex:
 
         _lap("nav")
         # 2. Navigation point: nearest row to the centroid
-        #    (nsg.cpp:101-155). One flat scan with the centroid as query.
+        #    (nsg.cpp:101-155). Host numpy — one pass over the mirror is
+        #    cheaper than compiling a device kernel for a single query.
         host = segment.dense_host[field_name][:n]
         centroid = host.mean(axis=0, dtype=np.float64).astype(np.float32)
-        cp = np.zeros((1, store.dim_padded), dtype=np.float32)
-        cp[0, : store.dim] = centroid
-        from ..ops.flat import flat_topk
-        mask = np.zeros(store.capacity, dtype=bool)
-        mask[:n] = True
-        _, nav_ids = flat_topk(jnp.asarray(cp), store.buf, store.norms,
-                               jnp.asarray(mask), MetricType.EUCLIDEAN, 1)
-        nav = int(np.asarray(nav_ids)[0, 0])
+        nav = int(np.argmin(
+            segment.dense_norms[field_name][:n]
+            - 2.0 * (host @ centroid)))
 
         # 3. Candidate pools via batched beam search from the navigation
         #    point over a bootstrap KNN graph (the role of NSG GetNeighbors,
@@ -320,10 +316,8 @@ class GraphIndex:
         # 5. Connectivity repair (role of CheckConnectivity,
         #    nsg.cpp:687-775): BFS from nav; while components remain
         #    unreached, bridge each one to its nearest already-reached node
-        #    (found with a masked device flat scan) with a bidirectional
-        #    edge, then absorb the component.
-        from ..ops.flat import flat_topk
-
+        #    (host numpy scan over the mirror — components are rare) with a
+        #    bidirectional edge, then absorb the component.
         def absorb(start_ids, reached):
             frontier = np.asarray(start_ids, dtype=np.int64)
             reached[frontier] = True
@@ -347,15 +341,12 @@ class GraphIndex:
         reached = np.zeros(n, dtype=bool)
         absorb(_make_rep_ids(n, nav), reached)
         n_components = 0
+        norms_h = segment.dense_norms[field_name][:n]
         while not reached.all():
             u0 = int(np.argmin(reached))  # first unreached node
-            rmask = np.zeros(store.capacity, dtype=bool)
-            rmask[:n] = reached
-            qp = np.zeros((1, store.dim_padded), dtype=np.float32)
-            qp[0, : store.dim] = host[u0]
-            _, vids = flat_topk(jnp.asarray(qp), store.buf, store.norms,
-                                jnp.asarray(rmask), metric, 1)
-            v = int(np.asarray(vids)[0, 0])
+            d = norms_h - 2.0 * (host @ host[u0])
+            d[~reached] = np.inf
+            v = int(np.argmin(d))
             add_edge(v, u0)
             add_edge(u0, v)
             absorb([u0], reached)

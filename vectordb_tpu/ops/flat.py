@@ -29,8 +29,10 @@ from ..schema import MetricType
 # Rows per streamed chunk. 8192 rows x 128 lanes fits VMEM comfortably and
 # keeps the MXU busy with [B, D] x [D, 8192] blocks.
 DEFAULT_CHUNK = 8192
-# Below this row count a single fused matmul + top_k beats the scan loop.
-SINGLE_PASS_MAX = 65536
+# Use the single fused matmul + top_k whenever the [B, N] score matrix is
+# modest (<= 1 GB f32); the streamed lax.scan variant exists only for huge
+# B x N products — its program is far more expensive to compile.
+SINGLE_PASS_MAX_ELEMS = 1 << 28
 
 
 def _scores(q: jnp.ndarray, tab: jnp.ndarray, norms: Optional[jnp.ndarray],
@@ -111,7 +113,7 @@ def flat_topk(queries: jnp.ndarray,
     n = table.shape[0]
     k = min(k, n)
     q = queries.astype(table.dtype)
-    if n <= SINGLE_PASS_MAX or n % chunk != 0:
+    if q.shape[0] * n <= SINGLE_PASS_MAX_ELEMS or n % chunk != 0:
         return _flat_topk_single(q, table, norms, mask, int(metric), k)
     return _flat_topk_scan(q, table, norms, mask, int(metric), k, chunk)
 

@@ -104,6 +104,35 @@ def exact_knn(table: jnp.ndarray, norms: jnp.ndarray, n: int, k: int,
         chunk = n_pad  # single chunk fallback for small pads
     k = min(k, max(n - 1, 1))
     query_block = min(query_block, n_pad)
+
+    # Fast path: fused Pallas distance + partial-min kernel (TPU only) —
+    # scores never materialize in HBM.
+    from . import pallas_topk
+    if (jax.devices()[0].platform != "cpu"
+            and pallas_topk.supports(n_pad, table.shape[1],
+                                     pallas_topk.TILE_Q)
+            and query_block % pallas_topk.TILE_Q == 0):
+        parts_d, parts_i = [], []
+        for start in range(0, n_pad, query_block):
+            if start >= n:
+                break
+            real_start = start
+            if start + query_block > n_pad:
+                real_start = n_pad - query_block
+            d, ids = pallas_topk.fused_topk(
+                jax.lax.dynamic_slice(
+                    table, (real_start, 0), (query_block, table.shape[1])),
+                jax.lax.dynamic_slice(norms, (real_start,), (query_block,)),
+                jnp.int32(real_start), table, norms, int(metric), k,
+                n_valid=n, exclude_self=True)
+            if real_start != start:
+                delta = start - real_start
+                d, ids = d[delta:], ids[delta:]
+            parts_d.append(d)
+            parts_i.append(ids)
+        return (jnp.concatenate(parts_i, axis=0),
+                jnp.concatenate(parts_d, axis=0))
+
     parts_d = []
     parts_i = []
     # Iterate over the padded row space so every block has the same shape
