@@ -169,6 +169,9 @@ class TableSegment:
 
         self.pk_field: Optional[str] = None
         self.pk_map: Dict[Any, int] = {}
+        # Bumped on every insert/delete; used to invalidate cached device
+        # masks without re-uploading them per query.
+        self.mutation_version = 0
 
         for f in schema.fields:
             if f.is_primary_key:
@@ -411,6 +414,7 @@ class TableSegment:
                 self.pk_map[pk_key] = new_row
                 self.deleted[old_row] = True
             self.skip_sync_disk = False
+            self.mutation_version += 1
             return Status(
                 0, json.dumps({"inserted": n_new - skipped, "skipped": skipped}))
 
@@ -453,6 +457,7 @@ class TableSegment:
                                    if v not in doomed}
                 deleted_count = len(rows)
             self.skip_sync_disk = False
+            self.mutation_version += 1
             return Status(0, json.dumps({"deleted": int(deleted_count)}))
 
     # ------------------------------------------------------------------

@@ -42,6 +42,18 @@ from .wal import (DELETE, INSERT, UPSERT, WriteAheadLog, decode_delete_entry,
 # Candidate-pool over-fetch for exact f32 re-ranking of bf16 device scores.
 RERANK_SLACK = 32
 
+# Query batches are padded up to these sizes so each table compiles at most
+# len(BATCH_BUCKETS) kernel shapes (per-shape XLA compilation is expensive;
+# padded lanes are nearly free on the MXU).
+BATCH_BUCKETS = (16, 128, 512, 1024)
+
+
+def _bucket_batch(b: int) -> int:
+    for s in BATCH_BUCKETS:
+        if b <= s:
+            return s
+    return -(-b // BATCH_BUCKETS[-1]) * BATCH_BUCKETS[-1]
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -200,8 +212,9 @@ class Table:
             ids, dists = self._sparse_scan(field_name, query_data, valid,
                                            metric, k_cand)
         else:
-            ids, dists = self._dense_search(field_name, query_data, valid,
-                                            metric, k_cand)
+            ids, dists = self._dense_search(
+                field_name, query_data, valid, metric, k_cand,
+                mask_cacheable=(compiler is None or uses_distance))
 
         # Post-filter for @distance predicates (reference top-L scan,
         # vec_search_executor.cpp:906-927).
@@ -211,17 +224,20 @@ class Table:
         return ids[:limit], dists[:limit]
 
     def _dense_search(self, field_name: str, query: np.ndarray,
-                      valid: np.ndarray, metric: MetricType, k: int
+                      valid: np.ndarray, metric: MetricType, k: int,
+                      mask_cacheable: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Single-query dense search: graph path when a fresh-enough graph
         exists and the table is large, else fused flat scan. Returns exact
         f32 distances (device scores re-ranked on host)."""
         ids, dists = self.batch_dense_search(
-            field_name, query[None, :], valid, metric, k)
+            field_name, query[None, :], valid, metric, k,
+            mask_cacheable=mask_cacheable)
         return ids[0], dists[0]
 
     def batch_dense_search(self, field_name: str, queries: np.ndarray,
-                           valid: np.ndarray, metric: MetricType, k: int
+                           valid: np.ndarray, metric: MetricType, k: int,
+                           mask_cacheable: bool = False
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched dense search over [B, D] queries -> ([B, k] ids, dists).
 
@@ -235,6 +251,15 @@ class Table:
         graph = self.graphs.get(field_name)
         n_alive = int(np.count_nonzero(valid))
         k_eff = min(k, max(n_alive, 1))
+
+        # Pad the batch to a bucket size (bounded kernel-shape set).
+        b_real = queries.shape[0]
+        b_pad = _bucket_batch(b_real)
+        if b_pad != b_real:
+            queries = np.concatenate(
+                [queries, np.broadcast_to(queries[:1],
+                                          (b_pad - b_real,
+                                           queries.shape[1]))], axis=0)
 
         use_graph = (graph is not None
                      and n >= self.config.brute_force_threshold
@@ -254,7 +279,8 @@ class Table:
             if n > tail_start:
                 t_ids, _ = self._flat_candidates(
                     field_name, queries, valid, metric,
-                    min(k_eff + RERANK_SLACK, n), row_start=tail_start)
+                    min(k_eff + RERANK_SLACK, n), row_start=tail_start,
+                    mask_cacheable=mask_cacheable)
                 cand_ids = np.concatenate([cand_ids, t_ids], axis=1)
             # Selective-filter fallback: if the beam did not surface enough
             # valid rows, top up with a masked flat scan (guarantees full-k
@@ -263,46 +289,73 @@ class Table:
             if per_query_valid.min() < min(k_eff, n_alive):
                 f_ids, _ = self._flat_candidates(
                     field_name, queries, valid, metric,
-                    min(k_eff + RERANK_SLACK, max(n_alive, 1)))
+                    min(k_eff + RERANK_SLACK, max(n_alive, 1)),
+                    mask_cacheable=mask_cacheable)
                 cand_ids = np.concatenate([cand_ids, f_ids], axis=1)
         else:
             cand_ids, _ = self._flat_candidates(
                 field_name, queries, valid, metric,
-                min(k_eff + RERANK_SLACK, max(n_alive, 1)))
+                min(k_eff + RERANK_SLACK, max(n_alive, 1)),
+                mask_cacheable=mask_cacheable)
 
         # Exact f32 re-rank on the host mirror: dedups bf16 ties and makes
-        # reported @distance values exact.
+        # reported @distance values exact. Batch padding is dropped first.
+        cand_ids = cand_ids[:b_real]
         host = seg.dense_host[field_name]
         exact = flat_ops.exact_rerank(
-            np.asarray(queries, dtype=np.float32), host, cand_ids, metric)
-        # Drop invalid (masked/deleted/dup) candidates.
+            np.asarray(queries[:b_real], dtype=np.float32), host, cand_ids,
+            metric)
+        # Drop invalid (masked/deleted) and duplicate candidates, fully
+        # vectorized: sort per row by id to mark duplicates, then by
+        # distance to rank.
         b = cand_ids.shape[0]
-        out_ids = np.full((b, k_eff), -1, dtype=np.int64)
-        out_d = np.full((b, k_eff), np.inf, dtype=np.float64)
-        for i in range(b):
-            ids_i = cand_ids[i]
-            d_i = exact[i]
-            ok = ids_i >= 0
-            ids_i, d_i = ids_i[ok], d_i[ok]
-            ids_i, uniq_idx = np.unique(ids_i, return_index=True)
-            d_i = d_i[uniq_idx]
-            order = np.argsort(d_i, kind="stable")[:k_eff]
-            m = len(order)
-            out_ids[i, :m] = ids_i[order]
-            out_d[i, :m] = d_i[order]
-        # Trim trailing all-invalid columns for the single-query path.
+        d_work = np.where(cand_ids >= 0, exact, np.inf)
+        id_order = np.argsort(cand_ids, axis=1, kind="stable")
+        ids_by_id = np.take_along_axis(cand_ids, id_order, axis=1)
+        dup_sorted = np.zeros_like(ids_by_id, dtype=bool)
+        dup_sorted[:, 1:] = ids_by_id[:, 1:] == ids_by_id[:, :-1]
+        dup = np.zeros_like(dup_sorted)
+        np.put_along_axis(dup, id_order, dup_sorted, axis=1)
+        d_work = np.where(dup, np.inf, d_work)
+        rank = np.argsort(d_work, axis=1, kind="stable")[:, :k_eff]
+        out_ids = np.take_along_axis(cand_ids, rank, axis=1).astype(np.int64)
+        out_d = np.take_along_axis(d_work, rank, axis=1)
+        out_ids = np.where(np.isfinite(out_d), out_ids, -1)
+        # Trim trailing all-invalid columns.
         keep_cols = (out_ids >= 0).any(axis=0)
         last = int(np.max(np.nonzero(keep_cols)[0])) + 1 if keep_cols.any() else 0
         return out_ids[:, :last].astype(np.int64), out_d[:, :last]
 
+    def _device_mask(self, store, valid: np.ndarray, row_start: int,
+                     cacheable: bool):
+        """Upload (or reuse) the scan mask. Pure-validity masks are cached
+        on device keyed by the segment mutation version — host->device
+        uploads are expensive in tunneled deployments."""
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_mask_cache", None)
+        if cache is None:
+            cache = self._mask_cache = {}
+        ver = self.segment.mutation_version
+        key = (store.capacity, row_start)
+        if cacheable:
+            hit = cache.get(key)
+            if hit is not None and hit[0] == ver:
+                return hit[1]
+        mask = np.zeros(store.capacity, dtype=bool)
+        mask[row_start:len(valid)] = valid[row_start:]
+        dm = jnp.asarray(mask)
+        if cacheable:
+            cache[key] = (ver, dm)
+        return dm
+
     def _flat_candidates(self, field_name: str, queries: np.ndarray,
                          valid: np.ndarray, metric: MetricType, k: int,
-                         row_start: int = 0
+                         row_start: int = 0, mask_cacheable: bool = False
                          ) -> Tuple[np.ndarray, np.ndarray]:
         """Fused device scan over rows [row_start, n) -> top-k candidates."""
         store = self.segment.device_view(field_name)
-        mask = np.zeros(store.capacity, dtype=bool)
-        mask[row_start:len(valid)] = valid[row_start:]
+        dm = self._device_mask(store, valid, row_start, mask_cacheable)
         qp = np.zeros((queries.shape[0], store.dim_padded), dtype=np.float32)
         qp[:, : store.dim] = queries
         import jax.numpy as jnp
@@ -310,7 +363,7 @@ class Table:
         d, ids = flat_ops.flat_topk(
             jnp.asarray(qp), store.buf,
             store.norms if metric == MetricType.EUCLIDEAN else None,
-            jnp.asarray(mask), metric, min(k, store.capacity))
+            dm, metric, min(k, store.capacity))
         d = np.asarray(d)
         ids = np.asarray(ids).astype(np.int64)
         ids[~np.isfinite(d)] = -1
@@ -479,7 +532,24 @@ class Table:
                     logger.error(f"Graph build failed for {f.name}: {e}")
             else:
                 self._try_load_graph(f.name)
+            self._warmup(f.name)
         return Status.OK()
+
+    def _warmup(self, field_name: str) -> None:
+        """Pre-compile the smallest query-batch bucket for this field so the
+        first user query doesn't pay XLA compilation (expensive through
+        remote compilers; results land in the persistent cache)."""
+        try:
+            n = self.segment.record_number
+            if n == 0:
+                return
+            q = self.segment.dense_host[field_name][:1].copy()
+            valid = self.segment.valid_mask()
+            self.batch_dense_search(field_name, q, valid,
+                                    self.metric_map[field_name],
+                                    min(10, n), mask_cacheable=True)
+        except Exception as e:
+            logger.debug(f"warmup skipped for {field_name}: {e}")
 
     def swap_executors(self) -> Status:
         """Config changed: nothing to swap in the batched design (pools do
