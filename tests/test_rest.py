@@ -1,0 +1,220 @@
+"""REST API tests: endpoint paths, payloads, and response shapes match the
+reference WebController (web_controller.hpp)."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vectordb_tpu.db_server import DBServer
+from vectordb_tpu.rest.server import RestServer, create_server
+
+RECORDS = [
+    {"ID": 1, "Doc": "Berlin", "Embedding": [0.05, 0.61, 0.76, 0.74]},
+    {"ID": 2, "Doc": "London", "Embedding": [0.19, 0.81, 0.75, 0.11]},
+    {"ID": 3, "Doc": "Moscow", "Embedding": [0.36, 0.55, 0.47, 0.94]},
+]
+
+SCHEMA = {
+    "name": "t",
+    "fields": [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "Doc", "dataType": "STRING"},
+        {"name": "Embedding", "dataType": "VECTOR_FLOAT", "dimensions": 4,
+         "metricType": "EUCLIDEAN"},
+    ],
+}
+
+
+@pytest.fixture
+def rest(tmp_path):
+    server = RestServer(DBServer())
+    code, resp = server.dispatch(
+        "POST", "/api/load",
+        {"name": "db1", "path": str(tmp_path / "db1")}, {})
+    assert code == 200, resp
+    yield server
+    server.db.stop()
+
+
+def call(rest, method, path, body=None):
+    return rest.dispatch(method, path, body, {})
+
+
+class TestEndpoints:
+    def test_state(self, rest):
+        code, resp = call(rest, "GET", "/state")
+        assert code == 200 and resp["message"] == "Server is online!"
+
+    def test_root(self, rest):
+        code, resp = call(rest, "GET", "/")
+        assert code == 200 and isinstance(resp, str)
+
+    def test_load_conflict(self, rest, tmp_path):
+        code, resp = call(rest, "POST", "/api/load",
+                          {"name": "db1", "path": str(tmp_path / "db1")})
+        assert code == 409
+
+    def test_crud_flow(self, rest):
+        code, resp = call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+        assert code == 200, resp
+        code, resp = call(rest, "POST", "/api/db1/data/insert",
+                          {"table": "t", "data": RECORDS})
+        assert code == 200
+        assert resp["result"]["inserted"] == 3
+
+        code, resp = call(rest, "POST", "/api/db1/data/query",
+                          {"table": "t", "queryField": "Embedding",
+                           "queryVector": [0.36, 0.55, 0.47, 0.94],
+                           "limit": 2, "response": ["Doc"],
+                           "withDistance": True})
+        assert code == 200
+        assert resp["message"] == "Query search successfully."
+        assert resp["result"][0]["Doc"] == "Moscow"
+        assert "@distance" in resp["result"][0]
+
+        code, resp = call(rest, "GET", "/api/db1/schema/tables/show")
+        assert resp["result"] == ["t"]
+
+        code, resp = call(rest, "GET", "/api/db1/statistics")
+        assert resp["result"]["tables"][0]["totalRecordCount"] == 3
+
+        code, resp = call(rest, "POST", "/api/db1/data/delete",
+                          {"table": "t", "primaryKeys": [2]})
+        assert code == 200 and resp["result"]["deleted"] == 1
+
+        code, resp = call(rest, "POST", "/api/db1/data/get",
+                          {"table": "t", "response": ["ID"]})
+        assert sorted(r["ID"] for r in resp["result"]) == [1, 3]
+
+        code, resp = call(rest, "DELETE", "/api/db1/schema/tables/t")
+        assert code == 200
+
+    def test_insertprepare(self, rest):
+        call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+        call(rest, "POST", "/api/db1/data/insert",
+             {"table": "t", "data": RECORDS})
+        code, resp = call(rest, "POST", "/api/db1/data/insertprepare",
+                          {"table": "t", "primaryKeys": [1, 99]})
+        assert code == 200
+        assert resp["result"]["recordNumber"] == 3
+        # bit i clear => pk exists (reference mask semantics)
+        assert resp["result"]["masks"][0] & 1 == 0
+        assert resp["result"]["masks"][0] & 2 == 2
+
+    def test_query_validation(self, rest):
+        call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+        code, _ = call(rest, "POST", "/api/db1/data/query", {"table": "t"})
+        assert code == 400  # missing limit
+        code, _ = call(rest, "POST", "/api/db1/data/query",
+                       {"table": "t", "limit": 5})
+        assert code == 400  # no query or queryVector
+        code, resp = call(rest, "POST", "/api/db1/data/query",
+                          {"table": "t", "limit": 5,
+                           "queryVector": [0.0] * 4,
+                           "filter": "Bogus < 3"})
+        assert code == 400  # invalid filter -> 400 per reference mapping
+
+    def test_delete_validation(self, rest):
+        call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+        code, _ = call(rest, "POST", "/api/db1/data/delete", {"table": "t"})
+        assert code == 400
+        code, _ = call(rest, "POST", "/api/db1/data/delete",
+                       {"table": "t", "primaryKeys": []})
+        assert code == 400
+
+    def test_facets_via_rest(self, rest):
+        call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+        call(rest, "POST", "/api/db1/data/insert",
+             {"table": "t", "data": RECORDS})
+        code, resp = call(rest, "POST", "/api/db1/data/query",
+                          {"table": "t", "queryVector": [0.0] * 4,
+                           "limit": 3, "response": [],
+                           "facets": [{"group": [],
+                                       "aggregate": ["COUNT(*)"]}]})
+        assert code == 200
+        assert resp["result"][0][0]["COUNT(*)"] == 3
+
+    def test_config_endpoint(self, rest):
+        code, resp = call(rest, "POST", "/api/config",
+                          {"SearchEf": 64})
+        assert code == 200
+        from vectordb_tpu.config import global_config
+        assert global_config.search_ef == 64
+        global_config.search_ef = 128  # restore
+
+    def test_setleader(self, rest):
+        code, resp = call(rest, "POST", "/api/setleader", {"leader": False})
+        assert code == 200
+        assert rest.db.is_leader is False
+
+    def test_rebuild_endpoint(self, rest):
+        call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+        call(rest, "POST", "/api/db1/data/insert",
+             {"table": "t", "data": RECORDS})
+        code, resp = call(rest, "POST", "/api/rebuild")
+        assert code == 200
+
+    def test_describe(self, rest):
+        call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+        code, resp = call(rest, "GET", "/api/db1/schema/tables/t/describe")
+        assert code == 200
+        names = [f["name"] for f in resp["result"]["fields"]]
+        assert names == ["ID", "Doc", "Embedding"]
+
+
+class TestLiveServer:
+    def test_http_round_trip(self, tmp_path):
+        httpd = create_server(0, DBServer(), host="127.0.0.1")
+        port = httpd.server_address[1]
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            def post(path, body):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}{path}",
+                    data=json.dumps(body).encode(), method="POST",
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=10) as r:
+                    return r.status, json.loads(r.read())
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/state", timeout=10) as r:
+                assert json.loads(r.read())["message"] == "Server is online!"
+            code, resp = post("/api/load",
+                              {"name": "livedb",
+                               "path": str(tmp_path / "livedb")})
+            assert code == 200
+            code, resp = post("/api/livedb/schema/tables", SCHEMA)
+            assert code == 200
+            code, resp = post("/api/livedb/data/insert",
+                              {"table": "t", "data": RECORDS})
+            assert code == 200
+            code, resp = post("/api/livedb/data/query",
+                              {"table": "t", "queryVector": [0.36, 0.55,
+                                                             0.47, 0.94],
+                               "limit": 1, "response": ["Doc"]})
+            assert resp["result"][0]["Doc"] == "Moscow"
+            # concurrent queries (reference test/concurrency/test.py)
+            errors = []
+
+            def worker():
+                try:
+                    for _ in range(5):
+                        c, rr = post("/api/livedb/data/query",
+                                     {"table": "t",
+                                      "queryVector": [0.1] * 4,
+                                      "limit": 2, "response": ["ID"]})
+                        assert c == 200 and len(rr["result"]) == 2
+                except Exception as e:
+                    errors.append(e)
+
+            threads = [threading.Thread(target=worker) for _ in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert not errors, errors
+        finally:
+            httpd.shutdown()

@@ -104,6 +104,21 @@ def query(table_name: str, query_field: str = "",
     return status.code, rows
 
 
+def hybrid_query(table_name: str, queries: List[Dict[str, Any]],
+                 response_fields: Optional[List[str]] = None,
+                 limit: int = 10, filter: str = "",
+                 with_distance: bool = False, rerank: str = "rrf"
+                 ) -> Tuple[int, List[Dict[str, Any]]]:
+    """Dense + sparse fusion search: queries = [{"field", "vector",
+    "weight"}]; rerank is "rrf" or "weighted"."""
+    status, rows, _ = _engine().hybrid_search(
+        _db_name, table_name, queries, response_fields or [], limit, filter,
+        with_distance, rerank)
+    if not status.ok():
+        raise Exception(status.message)
+    return status.code, rows
+
+
 def get(table_name: str, response_fields: Optional[List[str]] = None,
         primary_keys: Optional[List[Any]] = None, filter: str = "",
         skip: int = 0, limit: int = -1,
@@ -168,6 +183,6 @@ __all__ = [
     "DBServer", "Status", "VectorDBError", "FieldType", "MetricType",
     "TableSchema", "global_config",
     "load_db", "use_db", "create_table", "insert", "delete_by_pk", "delete",
-    "query", "get", "drop_table", "unload_db", "statistics", "rebuild",
-    "dump_db", "update_config", "InitTableScale",
+    "query", "hybrid_query", "get", "drop_table", "unload_db", "statistics",
+    "rebuild", "dump_db", "update_config", "InitTableScale",
 ]

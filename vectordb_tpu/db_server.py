@@ -83,7 +83,8 @@ class DBServer:
                 headers: Optional[Dict[str, str]] = None) -> Status:
         with self._lock:
             if db_name in self.databases:
-                return Status(DB_UNEXPECTED_ERROR,
+                from .errors import DB_ALREADY_EXIST
+                return Status(DB_ALREADY_EXIST,
                               "DB already loaded: " + db_name)
         try:
             schema = self.catalog.load_database(db_name, db_path)
@@ -283,6 +284,26 @@ class DBServer:
             rows, facets = table.search(field_name, query_fields, dim, query,
                                         limit, nodes, with_distance,
                                         facet_executors)
+        except VectorDBError as e:
+            return e.status, [], []
+        return Status.OK(), rows, facets
+
+    def hybrid_search(self, db_name: str, table_name: str,
+                      subqueries: List[Dict[str, Any]],
+                      query_fields: List[str], limit: int,
+                      filter_str: str = "", with_distance: bool = False,
+                      rerank: str = "rrf",
+                      facets_config: Optional[List[Dict[str, Any]]] = None
+                      ) -> Tuple[Status, List[Dict[str, Any]], List[Any]]:
+        """Dense + sparse fusion re-ranking across vector fields."""
+        try:
+            table = self._get_table(db_name, table_name)
+            nodes = parse_expr(filter_str or "", table.field_type_map)
+            facet_executors = preprocess_facets(facets_config or [],
+                                                table.field_type_map)
+            rows, facets = table.hybrid_search(
+                subqueries, limit, nodes, with_distance, query_fields,
+                rerank, facet_executors)
         except VectorDBError as e:
             return e.status, [], []
         return Status.OK(), rows, facets

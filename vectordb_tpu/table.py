@@ -383,6 +383,79 @@ class Table:
         return rows[order].astype(np.int64), d[order].astype(np.float64)
 
     # ------------------------------------------------------------------
+    # Hybrid search: dense + sparse fusion re-ranking (no reference
+    # equivalent — the reference leaves fusion to clients; this engine
+    # fuses per-field candidate sets on the server).
+    # ------------------------------------------------------------------
+
+    def hybrid_search(self, subqueries: List[Dict[str, Any]], limit: int,
+                      filter_nodes: List[ExprNode], with_distance: bool,
+                      query_fields: List[str],
+                      rerank: str = "rrf",
+                      facet_executors: Optional[List[FacetExecutor]] = None,
+                      ) -> Tuple[List[Dict[str, Any]], List[Any]]:
+        """Fuse top-k result sets from several vector fields.
+
+        subqueries: [{"field": name, "vector": dense list | sparse dict,
+                      "weight": float}]
+        rerank: "rrf" (reciprocal-rank fusion, k0=60) or "weighted"
+        (min-max-normalized similarity, weight-summed). Fused score is
+        reported as @distance (negated so smaller = better).
+        """
+        if not subqueries:
+            raise VectorDBError(USER_ERROR, "Hybrid query needs subqueries.")
+        pool = max(limit * 4, limit + RERANK_SLACK)
+        scores: Dict[int, float] = {}
+        for sq in subqueries:
+            field = sq.get("field", "")
+            weight = float(sq.get("weight", 1.0))
+            vec = sq.get("vector")
+            ftype = self.field_type_map.get(field)
+            if ftype is None:
+                raise VectorDBError(DB_UNEXPECTED_ERROR,
+                                    "Field name not found: " + field)
+            if isinstance(vec, dict):
+                query: Any = sparse_ops.SparseVector.from_json(vec)
+            else:
+                query = np.asarray(vec, dtype=np.float32)
+            metric = self.metric_map[field]
+            if metric == MetricType.COSINE:
+                if isinstance(query, sparse_ops.SparseVector):
+                    query = query.normalized()
+                else:
+                    s = float(np.dot(query, query))
+                    if s > 1e-10:
+                        query = query / np.float32(np.sqrt(s))
+            ids, dists = self._search_ids(
+                field, query, pool, filter_nodes,
+                isinstance(query, sparse_ops.SparseVector))
+            if rerank == "weighted":
+                finite = np.isfinite(dists)
+                if finite.any():
+                    lo, hi = dists[finite].min(), dists[finite].max()
+                    rng = (hi - lo) or 1.0
+                    sims = 1.0 - (dists - lo) / rng
+                else:
+                    sims = np.zeros_like(dists)
+                for rid, sim in zip(ids, sims):
+                    scores[int(rid)] = scores.get(int(rid), 0.0) \
+                        + weight * float(sim)
+            else:  # rrf
+                for rank, rid in enumerate(ids):
+                    scores[int(rid)] = scores.get(int(rid), 0.0) \
+                        + weight / (60.0 + rank + 1)
+        order = sorted(scores.items(), key=lambda kv: -kv[1])[:limit]
+        ids = np.asarray([rid for rid, _ in order], dtype=np.int64)
+        fused = np.asarray([-s for _, s in order], dtype=np.float64)
+        facets: List[Any] = []
+        rows: List[Dict[str, Any]] = []
+        if query_fields or not facet_executors:
+            rows = self.project(query_fields, ids, with_distance, fused)
+        for fe in facet_executors or []:
+            facets.append(fe.run(self.segment, ids, fused))
+        return rows, facets
+
+    # ------------------------------------------------------------------
     # Attribute-only search (reference SearchByAttribute,
     # vec_search_executor.cpp:937-1032): pk list / filter / geo uplift,
     # skip + limit over id-ascending matches.
