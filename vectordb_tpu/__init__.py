@@ -77,6 +77,19 @@ def insert(table_name: str, records: List[Dict[str, Any]],
     return status.code
 
 
+def insert_columns(table_name: str, columns: Dict[str, Any],
+                   upsert: bool = False) -> Tuple[int, Dict[str, Any]]:
+    """Bulk columnar ingest (fast path): dense vectors as [n, D] numpy
+    arrays, primitive columns as numpy arrays, strings as lists."""
+    import json as _json
+
+    status = _engine().insert_columns(_db_name, table_name, columns,
+                                      upsert=upsert)
+    if not status.ok():
+        raise Exception(status.message)
+    return status.code, _json.loads(status.message)
+
+
 def delete_by_pk(table_name: str, primary_keys: List[Any]) -> int:
     status = _engine().delete(_db_name, table_name, primary_keys, "")
     return status.code
@@ -183,6 +196,6 @@ __all__ = [
     "DBServer", "Status", "VectorDBError", "FieldType", "MetricType",
     "TableSchema", "global_config",
     "load_db", "use_db", "create_table", "insert", "delete_by_pk", "delete",
-    "query", "hybrid_query", "get", "drop_table", "unload_db", "statistics",
+    "query", "hybrid_query", "get", "insert_columns", "drop_table", "unload_db", "statistics",
     "rebuild", "dump_db", "update_config", "InitTableScale",
 ]

@@ -28,10 +28,27 @@ def main(argv=None) -> int:
                         default="http://localhost:8889")
     args = parser.parse_args(argv)
 
+    import faulthandler
+    import signal
+
+    # SIGUSR1 dumps all thread stacks to stderr (live-debug aid).
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     from .db_server import DBServer
     from .logger import logger
     from .rest import create_server
     from .services import EmbeddingService
+
+    # Initialize the JAX backend AND run the process's first compile on the
+    # MAIN thread before any request-handler thread touches the device —
+    # some PJRT backends (e.g. tunneled TPU) deadlock when the first
+    # compilation of a process happens off the main thread.
+    import jax
+    import jax.numpy as jnp
+
+    logger.info(f"JAX devices: {jax.devices()}")
+    jax.jit(lambda a: a + 1)(jnp.zeros((8, 128))).block_until_ready()
+    logger.info("JAX compile path primed")
 
     db = DBServer()
     db.inject_embedding_service(EmbeddingService(args.embedding_baseurl))
@@ -42,11 +59,19 @@ def main(argv=None) -> int:
     httpd = create_server(args.port, db)
     logger.info(f"vectordb-tpu server listening on port {args.port} "
                 f"(leader={args.leader}, rebuild={args.rebuild})")
+    # HTTP serves from worker threads; the MAIN thread runs the device
+    # executor loop (PJRT compiles are fastest on the main thread, and
+    # kernel execution is serialized like the reference's executor pool).
+    import threading
+
+    http_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    http_thread.start()
     try:
-        httpd.serve_forever()
+        db.device_executor.run_loop()
     except KeyboardInterrupt:
         pass
     finally:
+        db.device_executor.stop()
         httpd.shutdown()
         db.stop()
     return 0

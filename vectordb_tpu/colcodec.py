@@ -1,0 +1,137 @@
+"""Binary columnar codec for record batches.
+
+Encodes a packed record batch (the output of TableSegment.pack_records) as a
+compact self-describing binary blob: a JSON header describing each column
+(kind, dtype, shape / string lengths) followed by raw little-endian buffers.
+Used for binary WAL entries (wal.py) — encoding a 50k x 128-d batch is a
+memcpy instead of 134 MB of JSON text — and as the section format of the
+native snapshot writer.
+"""
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+from .ops.sparse import SparseVector
+
+MAGIC = b"VCOL"
+VERSION = 1
+
+
+def encode_columns(columns: Dict[str, Any], n_rows: int,
+                   kinds: Dict[str, str] | None = None) -> bytes:
+    """columns: name -> np.ndarray | (lat, lon) | list[str|None] |
+    list[SparseVector|None]. `kinds` (name -> "array"|"geo"|"strings"|
+    "sparse") disambiguates empty/None-only list columns; inferred from the
+    values when omitted."""
+    header: List[Dict[str, Any]] = []
+    buffers: List[bytes] = []
+
+    def add(name: str, kind: str, meta: Dict[str, Any], *bufs: bytes):
+        entry = {"name": name, "kind": kind, **meta}
+        entry["nbytes"] = [len(b) for b in bufs]
+        header.append(entry)
+        buffers.extend(bufs)
+
+    def kind_of(name, col):
+        if kinds and name in kinds:
+            return kinds[name]
+        if isinstance(col, tuple):
+            return "geo"
+        if isinstance(col, np.ndarray):
+            return "array"
+        if col and isinstance(next((x for x in col if x is not None), None),
+                              SparseVector):
+            return "sparse"
+        return "strings"
+
+    for name, col in columns.items():
+        kind = kind_of(name, col)
+        if kind == "geo":
+            lat, lon = col
+            add(name, "geo", {}, np.ascontiguousarray(lat).tobytes(),
+                np.ascontiguousarray(lon).tobytes())
+        elif kind == "array":
+            add(name, "array", {"dtype": col.dtype.str,
+                                "shape": list(col.shape)},
+                np.ascontiguousarray(col).tobytes())
+        elif kind == "sparse":
+            idx_cat, val_cat, offs = [], [], [0]
+            for v in col:
+                if v is not None:
+                    idx_cat.append(v.indices)
+                    val_cat.append(v.values)
+                    offs.append(offs[-1] + len(v.indices))
+                else:
+                    offs.append(offs[-1])
+            idx = (np.concatenate(idx_cat) if idx_cat
+                   else np.zeros(0, np.int64))
+            val = (np.concatenate(val_cat) if val_cat
+                   else np.zeros(0, np.float32))
+            add(name, "sparse", {},
+                idx.astype(np.int64).tobytes(),
+                val.astype(np.float32).tobytes(),
+                np.asarray(offs, np.int64).tobytes())
+        else:  # list of strings / None
+            encoded = [(s.encode("utf-8") if s is not None else None)
+                       for s in col]
+            lens = np.asarray([-1 if b is None else len(b)
+                               for b in encoded], np.int64)
+            blob = b"".join(b for b in encoded if b is not None)
+            add(name, "strings", {}, lens.tobytes(), blob)
+
+    hjson = json.dumps({"v": VERSION, "rows": n_rows,
+                        "cols": header}).encode("utf-8")
+    out = [MAGIC, struct.pack("<I", len(hjson)), hjson]
+    out.extend(buffers)
+    return b"".join(out)
+
+
+def decode_columns(data: bytes) -> Tuple[Dict[str, Any], int]:
+    if data[:4] != MAGIC:
+        raise ValueError("bad column blob magic")
+    (hlen,) = struct.unpack_from("<I", data, 4)
+    header = json.loads(data[8:8 + hlen].decode("utf-8"))
+    off = 8 + hlen
+    n_rows = int(header["rows"])
+    columns: Dict[str, Any] = {}
+    for entry in header["cols"]:
+        bufs = []
+        for nb in entry["nbytes"]:
+            bufs.append(data[off:off + nb])
+            off += nb
+        kind = entry["kind"]
+        name = entry["name"]
+        if kind == "array":
+            arr = np.frombuffer(bufs[0], dtype=np.dtype(entry["dtype"]))
+            columns[name] = arr.reshape(entry["shape"]).copy()
+        elif kind == "geo":
+            columns[name] = (np.frombuffer(bufs[0], np.float64).copy(),
+                             np.frombuffer(bufs[1], np.float64).copy())
+        elif kind == "sparse":
+            idx = np.frombuffer(bufs[0], np.int64)
+            val = np.frombuffer(bufs[1], np.float32)
+            offs = np.frombuffer(bufs[2], np.int64)
+            col = []
+            for r in range(n_rows):
+                a, b = int(offs[r]), int(offs[r + 1])
+                col.append(SparseVector(idx[a:b].copy(), val[a:b].copy())
+                           if b > a else None)
+            columns[name] = col
+        elif kind == "strings":
+            lens = np.frombuffer(bufs[0], np.int64)
+            blob = bufs[1]
+            col, pos = [], 0
+            for ln in lens:
+                if ln < 0:
+                    col.append(None)
+                else:
+                    col.append(blob[pos:pos + ln].decode("utf-8"))
+                    pos += int(ln)
+            columns[name] = col
+        else:
+            raise ValueError("unknown column kind: " + kind)
+    return columns, n_rows

@@ -44,6 +44,9 @@ class Config:
         self.graph_degree = 32
         self.graph_alpha = 1.2
         self.beam_expand = 4          # beam entries expanded per iteration
+        # Write WAL insert entries as the reference's JSON-text lines
+        # instead of binary column batches (slower; for interop).
+        self.wal_text_format = False
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
         """Apply a JSON config update.
@@ -133,6 +136,8 @@ class Config:
                 if not (1 <= v <= 32):
                     return False, False
                 self.beam_expand = v
+            if "WalTextFormat" in cfg:
+                self.wal_text_format = bool(cfg["WalTextFormat"])
         return True, swap
 
     def to_dict(self) -> Dict[str, Any]:
@@ -153,6 +158,7 @@ class Config:
             "GraphDegree": self.graph_degree,
             "GraphAlpha": self.graph_alpha,
             "BeamExpand": self.beam_expand,
+            "WalTextFormat": self.wal_text_format,
         }
 
 

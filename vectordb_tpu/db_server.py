@@ -18,6 +18,7 @@ import numpy as np
 from .catalog import Catalog
 from .config import global_config
 from .database import Database
+from .executor import DeviceExecutor
 from .errors import (DB_UNEXPECTED_ERROR, INVALID_PAYLOAD, Status,
                      VectorDBError)
 from .expr.parser import parse_expr
@@ -33,6 +34,9 @@ REBUILD_INTERVAL_S = 60.0
 class DBServer:
     def __init__(self, start_rebuild_thread: bool = False):
         self.catalog = Catalog()
+        # All device work funnels through this executor (see executor.py);
+        # with no loop running it executes inline on the calling thread.
+        self.device_executor = DeviceExecutor()
         self.databases: Dict[str, Database] = {}
         self._lock = threading.Lock()
         self.is_leader = True
@@ -198,6 +202,22 @@ class DBServer:
             return e.status
         return table.insert(records, upsert=upsert, headers=headers)
 
+    def insert_columns(self, db_name: str, table_name: str,
+                       columns: Dict[str, Any], n_rows: Optional[int] = None,
+                       upsert: bool = False) -> Status:
+        """Bulk columnar ingest: dense vector fields as [n, D] numpy
+        arrays, primitives as arrays, strings as lists. The fast path for
+        large loads (no per-record python overhead)."""
+        try:
+            table = self._get_table(db_name, table_name)
+        except VectorDBError as e:
+            return e.status
+        if n_rows is None:
+            first = next(iter(columns.values()))
+            n_rows = (len(first[0]) if isinstance(first, tuple)
+                      else len(first))
+        return table.insert_columns(columns, int(n_rows), upsert=upsert)
+
     def insert_prepare(self, db_name: str, table_name: str,
                        pks: List[Any]) -> Tuple[Status, Dict[str, Any]]:
         try:
@@ -281,9 +301,9 @@ class DBServer:
                         return (Status(DB_UNEXPECTED_ERROR,
                                        "Query dimension doesn't match the "
                                        "vector field dimension."), [], [])
-            rows, facets = table.search(field_name, query_fields, dim, query,
-                                        limit, nodes, with_distance,
-                                        facet_executors)
+            rows, facets = self.device_executor.run(
+                table.search, field_name, query_fields, dim, query,
+                limit, nodes, with_distance, facet_executors)
         except VectorDBError as e:
             return e.status, [], []
         return Status.OK(), rows, facets
@@ -301,9 +321,9 @@ class DBServer:
             nodes = parse_expr(filter_str or "", table.field_type_map)
             facet_executors = preprocess_facets(facets_config or [],
                                                 table.field_type_map)
-            rows, facets = table.hybrid_search(
-                subqueries, limit, nodes, with_distance, query_fields,
-                rerank, facet_executors)
+            rows, facets = self.device_executor.run(
+                table.hybrid_search, subqueries, limit, nodes,
+                with_distance, query_fields, rerank, facet_executors)
         except VectorDBError as e:
             return e.status, [], []
         return Status.OK(), rows, facets
@@ -381,7 +401,7 @@ class DBServer:
             db = self.databases.get(name)
             if db is None:
                 continue
-            status = db.rebuild()
+            status = self.device_executor.run(db.rebuild)
             if not status.ok():
                 logger.error("Rebuild db failed: " + status.message)
         return Status.OK()

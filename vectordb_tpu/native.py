@@ -1,0 +1,102 @@
+"""ctypes loader for the native C++ IO runtime (native/libvdbnative.so).
+
+The library is built on first use with `make -C native` (g++). All call
+sites fall back to pure-Python implementations when the library is missing
+or the build fails, so the engine never hard-depends on the toolchain.
+Disable with VECTORDB_TPU_NATIVE=off.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+from .logger import logger
+
+_lock = threading.Lock()
+_native = None
+_tried = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvdbnative.so")
+
+
+class Native:
+    def __init__(self, lib: ctypes.CDLL):
+        self.lib = lib
+        lib.vdb_wal_append.argtypes = [
+            ctypes.c_int, ctypes.c_uint64, ctypes.c_uint8,
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int]
+        lib.vdb_wal_append.restype = ctypes.c_int
+        lib.vdb_snapshot_write.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int]
+        lib.vdb_snapshot_write.restype = ctypes.c_int64
+        lib.vdb_crc32.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.vdb_crc32.restype = ctypes.c_uint32
+
+    def wal_append(self, fd: int, entry_id: int, entry_type: int,
+                   payload: bytes, do_fsync: bool = False) -> None:
+        rc = self.lib.vdb_wal_append(fd, entry_id, entry_type, payload,
+                                     len(payload), 1 if do_fsync else 0)
+        if rc != 0:
+            raise OSError(-rc, os.strerror(-rc))
+
+    def snapshot_write(self, path: str, header: bytes,
+                       sections: List[bytes]) -> int:
+        arr_t = ctypes.c_char_p * len(sections)
+        len_t = ctypes.c_uint64 * len(sections)
+        ptrs = arr_t(*sections)
+        lens = len_t(*[len(s) for s in sections])
+        rc = self.lib.vdb_snapshot_write(path.encode(), header, len(header),
+                                         ptrs, lens, len(sections))
+        if rc < 0:
+            raise OSError(int(-rc), os.strerror(int(-rc)))
+        return int(rc)
+
+    def crc32(self, data: bytes) -> int:
+        return int(self.lib.vdb_crc32(data, len(data)))
+
+
+def _build() -> bool:
+    try:
+        proc = subprocess.run(["make", "-C", _NATIVE_DIR],
+                              capture_output=True, timeout=120)
+        if proc.returncode != 0:
+            logger.debug("native build failed: "
+                         + proc.stderr.decode(errors="replace")[-500:])
+            return False
+        return True
+    except (OSError, subprocess.TimeoutExpired) as e:
+        logger.debug(f"native build unavailable: {e}")
+        return False
+
+
+def get_native() -> Optional[Native]:
+    """The loaded native runtime, or None (pure-Python fallbacks apply)."""
+    global _native, _tried
+    if _tried:
+        return _native
+    with _lock:
+        if _tried:
+            return _native
+        _tried = True
+        if os.environ.get("VECTORDB_TPU_NATIVE", "").lower() == "off":
+            return None
+        src = os.path.join(_NATIVE_DIR, "vdbnative.cpp")
+        needs_build = (not os.path.exists(_LIB_PATH)
+                       or (os.path.exists(src) and os.path.getmtime(src)
+                           > os.path.getmtime(_LIB_PATH)))
+        if needs_build and not _build():
+            return None
+        try:
+            _native = Native(ctypes.CDLL(_LIB_PATH))
+            logger.debug("native IO runtime loaded")
+        except OSError as e:
+            logger.debug(f"native library load failed: {e}")
+            _native = None
+    return _native

@@ -27,8 +27,10 @@ import numpy as np
 from .errors import (DB_UNEXPECTED_ERROR, INVALID_RECORD, RECORD_NOT_FOUND,
                      Status, VectorDBError)
 from .logger import logger
+from .index.geo import GeospatialIndex
 from .ops.sparse import SparseVector
 from .schema import (DENSE_VECTOR_TYPES, INT_TYPES, PRIMITIVE_DTYPES,
+                     SPARSE_VECTOR_TYPES,
                      FieldType, MetricType, TableSchema)
 from .utils import atomic_write_bytes
 
@@ -39,6 +41,8 @@ MIN_DEVICE_CAPACITY = 4096
 
 SPARSE_INDICES_KEY = "indices"
 SPARSE_VALUES_KEY = "values"
+
+SNAPSHOT_MAGIC = b"VSNP1\x00"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -169,6 +173,7 @@ class TableSegment:
 
         self.pk_field: Optional[str] = None
         self.pk_map: Dict[Any, int] = {}
+        self.geo_indices: Dict[str, GeospatialIndex] = {}
         # Bumped on every insert/delete; used to invalidate cached device
         # masks without re-uploading them per query.
         self.mutation_version = 0
@@ -184,6 +189,7 @@ class TableSegment:
                 self.geo_cols[f.name] = (
                     np.zeros(self.size_limit, dtype=np.float64),
                     np.zeros(self.size_limit, dtype=np.float64))
+                self.geo_indices[f.name] = GeospatialIndex()
             elif ft in (FieldType.STRING, FieldType.JSON):
                 self.varlen_cols[f.name] = [None] * self.size_limit
             elif ft in DENSE_VECTOR_TYPES:
@@ -242,26 +248,173 @@ class TableSegment:
     # Insert (reference table_segment_mvp.cpp:455-814).
     # ------------------------------------------------------------------
 
+    def pack_records(self, records: List[Dict[str, Any]]
+                     ) -> Tuple[Status, Dict[str, Any], int, int]:
+        """Validate records and extract columnar arrays.
+
+        Returns (status, columns, n_valid_rows, skipped). Per-row validation
+        matches insert semantics (reference table_segment_mvp.cpp:455-651):
+        wrong dimension / malformed sparse vectors skip the row; a missing
+        field rejects the whole batch. Columns: primitives as python lists
+        (converted to numpy at the end), dense vectors stacked [m, D] f32
+        with vectorized cosine normalization.
+        """
+        n_new = len(records)
+        cols: Dict[str, List[Any]] = {
+            f.name: [] for f in self.schema.fields if not f.is_index_field}
+        fields = [f for f in self.schema.fields if not f.is_index_field]
+        for i, rec in enumerate(records):
+            for f in fields:
+                if f.name not in rec:
+                    return (Status(INVALID_RECORD,
+                                   f"Record {i} missing field: {f.name}"),
+                            {}, 0, 0)
+
+        skipped = 0
+        for i, rec in enumerate(records):
+            row: Dict[str, Any] = {}
+            row_ok = True
+            for f in fields:
+                ft = f.field_type
+                try:
+                    if ft in DENSE_VECTOR_TYPES:
+                        vec = rec[f.name]
+                        if len(vec) != f.vector_dimension:
+                            logger.error(
+                                f"Record {i} field {f.name} has wrong "
+                                f"dimension, expecting: {f.vector_dimension} "
+                                f"actual: {len(vec)}")
+                            row_ok = False
+                            break
+                        row[f.name] = vec
+                    elif ft in SPARSE_VECTOR_TYPES:
+                        sv = rec[f.name]
+                        idx = np.asarray(sv.get(SPARSE_INDICES_KEY, []),
+                                         dtype=np.int64)
+                        val = np.asarray(sv.get(SPARSE_VALUES_KEY, []),
+                                         dtype=np.float32)
+                        if len(idx) != len(val):
+                            logger.error(
+                                f"mismatched indices array length "
+                                f"({len(idx)}) and value array length "
+                                f"({len(val)}), skipping.")
+                            row_ok = False
+                            break
+                        if len(idx) > 0 and (
+                                idx[-1] >= f.vector_dimension
+                                or np.any(idx < 0)
+                                or np.any(np.diff(idx) <= 0)):
+                            logger.error(
+                                f"Record {i} field {f.name} has an invalid "
+                                "sparse vector, skipping.")
+                            row_ok = False
+                            break
+                        v = SparseVector(idx, val)
+                        if f.metric_type == MetricType.COSINE:
+                            v = v.normalized()
+                        row[f.name] = v
+                    elif ft == FieldType.GEO_POINT:
+                        g = rec[f.name]
+                        lat = min(max(float(g["latitude"]), -90.0), 90.0)
+                        lon = min(max(float(g["longitude"]), -180.0), 180.0)
+                        row[f.name] = (lat, lon)
+                    elif ft == FieldType.STRING:
+                        row[f.name] = str(rec[f.name])
+                    elif ft == FieldType.JSON:
+                        row[f.name] = json.dumps(rec[f.name])
+                    elif ft == FieldType.BOOL:
+                        row[f.name] = bool(rec[f.name])
+                    elif ft in (FieldType.FLOAT, FieldType.DOUBLE):
+                        row[f.name] = float(rec[f.name])
+                    else:
+                        row[f.name] = int(rec[f.name])
+                except (TypeError, ValueError, KeyError) as e:
+                    logger.error(f"Record {i} field {f.name} invalid: {e}")
+                    row_ok = False
+                    break
+            if not row_ok:
+                skipped += 1
+                continue
+            for f in fields:
+                cols[f.name].append(row[f.name])
+
+        m = n_new - skipped
+        columns: Dict[str, Any] = {}
+        for f in fields:
+            ft = f.field_type
+            vals = cols[f.name]
+            if ft in DENSE_VECTOR_TYPES:
+                try:
+                    mat = np.asarray(vals, dtype=np.float32).reshape(
+                        m, f.vector_dimension)
+                except (TypeError, ValueError):
+                    return (Status(INVALID_RECORD,
+                                   f"Field {f.name} has malformed vectors."),
+                            {}, 0, 0)
+                if f.metric_type == MetricType.COSINE:
+                    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+                    mat = np.where(nrm > 1e-5, mat / np.maximum(nrm, 1e-30),
+                                   mat)
+                columns[f.name] = mat
+            elif ft == FieldType.GEO_POINT:
+                columns[f.name] = (
+                    np.asarray([v[0] for v in vals], np.float64),
+                    np.asarray([v[1] for v in vals], np.float64))
+            elif ft in SPARSE_VECTOR_TYPES or ft in (FieldType.STRING,
+                                                     FieldType.JSON):
+                columns[f.name] = vals
+            else:
+                columns[f.name] = np.asarray(
+                    vals, dtype=PRIMITIVE_DTYPES[ft])
+        return Status.OK(), columns, m, skipped
+
+    def column_kinds(self) -> Dict[str, str]:
+        """colcodec kind per non-index field (for binary WAL encoding)."""
+        kinds: Dict[str, str] = {}
+        for f in self.schema.fields:
+            if f.is_index_field:
+                continue
+            if f.field_type in DENSE_VECTOR_TYPES:
+                kinds[f.name] = "array"
+            elif f.field_type in SPARSE_VECTOR_TYPES:
+                kinds[f.name] = "sparse"
+            elif f.field_type == FieldType.GEO_POINT:
+                kinds[f.name] = "geo"
+            elif f.field_type in (FieldType.STRING, FieldType.JSON):
+                kinds[f.name] = "strings"
+            else:
+                kinds[f.name] = "array"
+        return kinds
+
     def insert(self, records: List[Dict[str, Any]], wal_id: int = -1,
                upsert: bool = False,
                embedding_service=None,
                headers: Optional[Dict[str, str]] = None) -> Status:
+        status, columns, m, skipped = self.pack_records(records)
+        if not status.ok():
+            return status
+        return self.insert_columns(columns, m, wal_id, upsert,
+                                   embedding_service, headers,
+                                   pre_skipped=skipped)
+
+    def insert_columns(self, columns: Dict[str, Any], n_rows: int,
+                       wal_id: int = -1, upsert: bool = False,
+                       embedding_service=None,
+                       headers: Optional[Dict[str, str]] = None,
+                       pre_skipped: int = 0) -> Status:
+        """Bulk insert of a packed column batch (vectorized writes).
+
+        PK dedup / upsert bookkeeping runs sequentially over the batch
+        (matching per-record semantics incl. intra-batch duplicates,
+        reference table_segment_mvp.cpp:652-741); everything else is
+        columnar slice assignment.
+        """
         with self.data_lock:
             self.wal_global_id = wal_id
-            n_new = len(records)
-            if n_new == 0:
-                return Status(0, '{"inserted": 0, "skipped": 0}')
-
-            fmap = self.schema.field_map()
-            # Validate all required fields exist up front (whole batch is
-            # rejected, matching the reference).
-            for i, rec in enumerate(records):
-                for f in self.schema.fields:
-                    if not f.is_index_field and f.name not in rec:
-                        return Status(INVALID_RECORD,
-                                      f"Record {i} missing field: {f.name}")
-
-            if self.record_number + n_new > self.size_limit:
+            if n_rows == 0:
+                return Status(0, json.dumps(
+                    {"inserted": 0, "skipped": pre_skipped}))
+            if self.record_number + n_rows > self.size_limit:
                 return Status(
                     DB_UNEXPECTED_ERROR,
                     "Currently, each table in this database can hold up to "
@@ -269,133 +422,71 @@ class TableSegment:
                     "please unload the database and reload with a larger "
                     "vectorScale parameter.")
 
-            skipped = 0
-            cursor = self.record_number
-            start = cursor
-            upserts: List[Tuple[Any, int, int]] = []  # (pk, old_row, new_row)
-
-            for i, rec in enumerate(records):
-                row_ok = True
-                # Validate vector payloads before writing anything row-wise.
-                parsed: Dict[str, Any] = {}
-                for f in self.schema.fields:
-                    if f.is_index_field:
-                        continue
-                    ft = f.field_type
-                    try:
-                        if ft in DENSE_VECTOR_TYPES:
-                            vec = np.asarray(rec[f.name], dtype=np.float32)
-                            if vec.shape != (f.vector_dimension,):
-                                logger.error(
-                                    f"Record {i} field {f.name} has wrong "
-                                    f"dimension, expecting: {f.vector_dimension}"
-                                    f" actual: {vec.shape}")
-                                row_ok = False
-                                break
-                            if f.metric_type == MetricType.COSINE:
-                                s = float(np.dot(vec, vec))
-                                if s > 1e-10:
-                                    vec = vec / np.float32(np.sqrt(s))
-                            parsed[f.name] = vec
-                        elif ft in (FieldType.SPARSE_VECTOR_FLOAT,
-                                    FieldType.SPARSE_VECTOR_DOUBLE):
-                            sv = rec[f.name]
-                            idx = np.asarray(sv.get(SPARSE_INDICES_KEY, []),
-                                             dtype=np.int64)
-                            val = np.asarray(sv.get(SPARSE_VALUES_KEY, []),
-                                             dtype=np.float32)
-                            if len(idx) != len(val):
-                                logger.error(
-                                    f"mismatched indices array length "
-                                    f"({len(idx)}) and value array length "
-                                    f"({len(val)}), skipping.")
-                                row_ok = False
-                                break
-                            if len(idx) > 0:
-                                if idx[-1] >= f.vector_dimension:
-                                    logger.error(
-                                        f"Record {i} field {f.name} has wrong "
-                                        "dimension, expecting: "
-                                        f"{f.vector_dimension} actual: "
-                                        f"{int(idx[-1])}")
-                                    row_ok = False
-                                    break
-                                if np.any(idx < 0):
-                                    logger.error(
-                                        "entry has negative index value, "
-                                        "skipping.")
-                                    row_ok = False
-                                    break
-                                if np.any(np.diff(idx) <= 0):
-                                    logger.error(
-                                        "the index is not increasing, "
-                                        "skipping.")
-                                    row_ok = False
-                                    break
-                            v = SparseVector(idx, val)
-                            if f.metric_type == MetricType.COSINE:
-                                v = v.normalized()
-                            parsed[f.name] = v
-                    except (TypeError, ValueError, KeyError) as e:
-                        logger.error(f"Record {i} field {f.name} invalid: {e}")
-                        row_ok = False
-                        break
-                if not row_ok:
-                    skipped += 1
-                    continue
-
-                # PK dedup / upsert bookkeeping before committing the row.
-                pk_key = None
-                if self.pk_field is not None:
-                    pk_key = self._pk_value(rec, fmap[self.pk_field])
-                    old = self.pk_map.get(pk_key)
+            start = self.record_number
+            fmap = self.schema.field_map()
+            upserts: List[Tuple[Any, int, int]] = []
+            if self.pk_field is not None:
+                pk_fld = fmap[self.pk_field]
+                raw = columns[self.pk_field]
+                if pk_fld.field_type in INT_TYPES:
+                    pk_vals = [int(v) for v in raw]
+                else:
+                    pk_vals = [str(v) for v in raw]
+                keep = np.zeros(n_rows, dtype=bool)
+                cursor = start
+                for i, pk in enumerate(pk_vals):
+                    old = self.pk_map.get(pk)
                     if old is not None:
                         if upsert:
-                            upserts.append((pk_key, old, cursor))
+                            upserts.append((pk, old, cursor))
+                            self.pk_map[pk] = cursor
                         else:
-                            skipped += 1
                             continue
                     else:
-                        self.pk_map[pk_key] = cursor
+                        self.pk_map[pk] = cursor
+                    keep[i] = True
+                    cursor += 1
+            else:
+                keep = np.ones(n_rows, dtype=bool)
+                cursor = start + n_rows
+            kept = int(keep.sum())
+            skipped = pre_skipped + (n_rows - kept)
+            stop = start + kept
 
-                # Commit the row into every column.
-                for f in self.schema.fields:
-                    if f.is_index_field:
-                        continue
-                    ft = f.field_type
-                    name = f.name
-                    if ft in DENSE_VECTOR_TYPES:
-                        vec = parsed[name]
-                        self.dense_host[name][cursor] = vec
-                        self.dense_norms[name][cursor] = float(np.dot(vec, vec))
-                    elif name in self.sparse_cols:
-                        self.sparse_cols[name][cursor] = parsed[name]
-                    elif ft == FieldType.GEO_POINT:
-                        g = rec[name]
-                        lat = min(max(float(g["latitude"]), -90.0), 90.0)
-                        lon = min(max(float(g["longitude"]), -180.0), 180.0)
-                        self.geo_cols[name][0][cursor] = lat
-                        self.geo_cols[name][1][cursor] = lon
-                    elif ft == FieldType.STRING:
-                        self.varlen_cols[name][cursor] = str(rec[name])
-                    elif ft == FieldType.JSON:
-                        self.varlen_cols[name][cursor] = json.dumps(rec[name])
-                    elif ft == FieldType.BOOL:
-                        self.primitive_cols[name][cursor] = bool(rec[name])
-                    elif ft in (FieldType.FLOAT, FieldType.DOUBLE):
-                        self.primitive_cols[name][cursor] = float(rec[name])
-                    else:
-                        self.primitive_cols[name][cursor] = int(rec[name])
-                cursor += 1
+            for f in self.schema.fields:
+                if f.is_index_field:
+                    continue
+                name = f.name
+                ft = f.field_type
+                col = columns[name]
+                if ft in DENSE_VECTOR_TYPES:
+                    mat = col[keep]
+                    self.dense_host[name][start:stop] = mat
+                    self.dense_norms[name][start:stop] = np.einsum(
+                        "nd,nd->n", mat, mat).astype(np.float32)
+                elif ft in SPARSE_VECTOR_TYPES:
+                    kept_vals = [v for v, k in zip(col, keep) if k]
+                    self.sparse_cols[name][start:stop] = kept_vals
+                elif ft == FieldType.GEO_POINT:
+                    lat, lon = col
+                    self.geo_cols[name][0][start:stop] = lat[keep]
+                    self.geo_cols[name][1][start:stop] = lon[keep]
+                    gidx = self.geo_indices[name]
+                    for r, (la, lo) in enumerate(zip(lat[keep], lon[keep])):
+                        gidx.insert_point(float(la), float(lo), start + r)
+                elif ft in (FieldType.STRING, FieldType.JSON):
+                    kept_vals = [v for v, k in zip(col, keep) if k]
+                    self.varlen_cols[name][start:stop] = kept_vals
+                else:
+                    self.primitive_cols[name][start:stop] = col[keep]
 
-            # Auto-embedding of index fields over rows [start, cursor)
+            # Auto-embedding of index fields over rows [start, stop)
             # (reference table_segment_mvp.cpp:746-762).
             if embedding_service is not None:
                 for index in self.schema.indices:
                     src_field = self.schema.fields[index.src_field_id].name
                     tgt = self.schema.fields[index.tgt_field_id]
-                    docs = [self.varlen_cols[src_field][r]
-                            for r in range(start, cursor)]
+                    docs = self.varlen_cols[src_field][start:stop]
                     try:
                         embs = embedding_service.dense_embed_documents(
                             index.embedding_model_name, docs,
@@ -404,19 +495,18 @@ class TableSegment:
                     except VectorDBError as e:
                         logger.error("embedding service error: " + e.message)
                         return e.status
-                    for j, r in enumerate(range(start, cursor)):
-                        vec = np.asarray(embs[j], dtype=np.float32)
-                        self.dense_host[tgt.name][r] = vec
-                        self.dense_norms[tgt.name][r] = float(np.dot(vec, vec))
+                    mat = np.asarray(embs, dtype=np.float32)
+                    self.dense_host[tgt.name][start:stop] = mat
+                    self.dense_norms[tgt.name][start:stop] = np.einsum(
+                        "nd,nd->n", mat, mat).astype(np.float32)
 
-            self.record_number = cursor
+            self.record_number = stop
             for pk_key, old_row, new_row in upserts:
-                self.pk_map[pk_key] = new_row
                 self.deleted[old_row] = True
             self.skip_sync_disk = False
             self.mutation_version += 1
-            return Status(
-                0, json.dumps({"inserted": n_new - skipped, "skipped": skipped}))
+            return Status(0, json.dumps(
+                {"inserted": kept, "skipped": skipped}))
 
     # ------------------------------------------------------------------
     # Delete (reference table_segment_mvp.cpp:321-453).
@@ -519,96 +609,105 @@ class TableSegment:
     # ------------------------------------------------------------------
 
     def save(self, path: str) -> Status:
-        import io
+        from .colcodec import encode_columns
 
         with self.data_lock:
             if self.skip_sync_disk:
                 return Status.OK()
             n = self.record_number
-            arrays: Dict[str, np.ndarray] = {
-                "__meta__": np.frombuffer(json.dumps({
-                    "version": self.SNAPSHOT_VERSION,
-                    "record_number": n,
-                    "first_record_id": self.first_record_id,
-                    "wal_global_id": self.wal_global_id,
-                    "size_limit": self.size_limit,
-                }).encode("utf-8"), dtype=np.uint8),
-                "__deleted__": np.packbits(self.deleted[:n]),
-            }
+            columns: Dict[str, Any] = {
+                "__deleted__": np.packbits(self.deleted[:n])}
+            kinds: Dict[str, str] = {"__deleted__": "array"}
             for name, col in self.primitive_cols.items():
-                arrays["prim:" + name] = col[:n]
+                columns["prim:" + name] = col[:n]
+                kinds["prim:" + name] = "array"
             for name, (lat, lon) in self.geo_cols.items():
-                arrays["geolat:" + name] = lat[:n]
-                arrays["geolon:" + name] = lon[:n]
+                columns["geo:" + name] = (lat[:n], lon[:n])
+                kinds["geo:" + name] = "geo"
             for name, col in self.varlen_cols.items():
-                blob = json.dumps(col[:n]).encode("utf-8")
-                arrays["varlen:" + name] = np.frombuffer(blob, dtype=np.uint8)
+                columns["varlen:" + name] = col[:n]
+                kinds["varlen:" + name] = "strings"
             for name, col in self.sparse_cols.items():
-                idx_cat, val_cat, offs = [], [], [0]
-                for v in col[:n]:
-                    if v is not None:
-                        idx_cat.append(v.indices)
-                        val_cat.append(v.values)
-                        offs.append(offs[-1] + len(v.indices))
-                    else:
-                        offs.append(offs[-1])
-                arrays["spidx:" + name] = (np.concatenate(idx_cat)
-                                           if idx_cat else np.zeros(0, np.int64))
-                arrays["spval:" + name] = (np.concatenate(val_cat)
-                                           if val_cat else np.zeros(0, np.float32))
-                arrays["spoff:" + name] = np.asarray(offs, dtype=np.int64)
+                columns["sparse:" + name] = col[:n]
+                kinds["sparse:" + name] = "sparse"
             for name, col in self.dense_host.items():
-                arrays["dense:" + name] = col[:n]
+                columns["dense:" + name] = col[:n]
+                kinds["dense:" + name] = "array"
 
-            buf = io.BytesIO()
-            np.savez(buf, **arrays)
-            atomic_write_bytes(path, buf.getvalue())
+            blob = encode_columns(columns, n, kinds)
+            meta = json.dumps({
+                "version": self.SNAPSHOT_VERSION,
+                "record_number": n,
+                "first_record_id": self.first_record_id,
+                "wal_global_id": self.wal_global_id,
+                "size_limit": self.size_limit,
+            }).encode("utf-8")
+            import struct as _struct
+
+            header = (SNAPSHOT_MAGIC + _struct.pack("<Q", len(meta)) + meta)
+            from .native import get_native
+            from .utils import ensure_dir
+
+            ensure_dir(os.path.dirname(path) or ".")
+            native = get_native()
+            if native is not None:
+                native.snapshot_write(path, header, [blob])
+            else:
+                atomic_write_bytes(path, header + blob)
             self.skip_sync_disk = True
         return Status.OK()
 
     @classmethod
     def load(cls, path: str, schema: TableSchema, capacity: int = 150000,
              vector_dtype: str = "bfloat16") -> "TableSegment":
+        from .colcodec import decode_columns
+
         seg = cls(schema, capacity, vector_dtype)
         if not os.path.exists(path):
             return seg
-        with np.load(path, allow_pickle=False) as z:
-            meta = json.loads(bytes(z["__meta__"].tobytes()).decode("utf-8"))
-            n = int(meta["record_number"])
-            if n > seg.size_limit:
-                raise VectorDBError(
-                    DB_UNEXPECTED_ERROR,
-                    f"Snapshot has {n} records which exceeds the table "
-                    f"capacity {seg.size_limit}; reload with a larger "
-                    "vectorScale parameter.")
-            seg.record_number = n
-            seg.first_record_id = int(meta.get("first_record_id", 0))
-            seg.wal_global_id = int(meta.get("wal_global_id", -1))
-            seg.deleted[:n] = np.unpackbits(z["__deleted__"],
-                                            count=n).astype(bool)
-            for name in seg.primitive_cols:
-                seg.primitive_cols[name][:n] = z["prim:" + name]
-            for name in seg.geo_cols:
-                seg.geo_cols[name][0][:n] = z["geolat:" + name]
-                seg.geo_cols[name][1][:n] = z["geolon:" + name]
-            for name in seg.varlen_cols:
-                vals = json.loads(bytes(z["varlen:" + name].tobytes())
-                                  .decode("utf-8"))
-                seg.varlen_cols[name][:n] = vals
-            for name in seg.sparse_cols:
-                idx = z["spidx:" + name]
-                val = z["spval:" + name]
-                off = z["spoff:" + name]
-                col = seg.sparse_cols[name]
-                for r in range(n):
-                    a, b = int(off[r]), int(off[r + 1])
-                    if b > a:
-                        col[r] = SparseVector(idx[a:b], val[a:b])
-            for name in seg.dense_host:
-                seg.dense_host[name][:n] = z["dense:" + name]
-                seg.dense_norms[name][:n] = np.einsum(
-                    "nd,nd->n", seg.dense_host[name][:n],
-                    seg.dense_host[name][:n]).astype(np.float32)
+        import struct as _struct
+
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[: len(SNAPSHOT_MAGIC)] != SNAPSHOT_MAGIC:
+            raise VectorDBError(DB_UNEXPECTED_ERROR,
+                                "Bad snapshot magic: " + path)
+        off = len(SNAPSHOT_MAGIC)
+        (meta_len,) = _struct.unpack_from("<Q", data, off)
+        off += 8
+        meta = json.loads(data[off:off + meta_len].decode("utf-8"))
+        columns, n = decode_columns(data[off + meta_len:])
+        n = int(meta["record_number"])
+        if n > seg.size_limit:
+            raise VectorDBError(
+                DB_UNEXPECTED_ERROR,
+                f"Snapshot has {n} records which exceeds the table "
+                f"capacity {seg.size_limit}; reload with a larger "
+                "vectorScale parameter.")
+        seg.record_number = n
+        seg.first_record_id = int(meta.get("first_record_id", 0))
+        seg.wal_global_id = int(meta.get("wal_global_id", -1))
+        seg.deleted[:n] = np.unpackbits(columns["__deleted__"],
+                                        count=n).astype(bool)
+        for name in seg.primitive_cols:
+            seg.primitive_cols[name][:n] = columns["prim:" + name]
+        for name in seg.geo_cols:
+            lat_src, lon_src = columns["geo:" + name]
+            seg.geo_cols[name][0][:n] = lat_src
+            seg.geo_cols[name][1][:n] = lon_src
+            idx = seg.geo_indices[name]
+            for r in range(n):
+                if not seg.deleted[r]:
+                    idx.insert_point(float(lat_src[r]), float(lon_src[r]), r)
+        for name in seg.varlen_cols:
+            seg.varlen_cols[name][:n] = columns["varlen:" + name]
+        for name in seg.sparse_cols:
+            seg.sparse_cols[name][:n] = columns["sparse:" + name]
+        for name in seg.dense_host:
+            seg.dense_host[name][:n] = columns["dense:" + name]
+            seg.dense_norms[name][:n] = np.einsum(
+                "nd,nd->n", seg.dense_host[name][:n],
+                seg.dense_host[name][:n]).astype(np.float32)
         # Rebuild PK map (reference load ctor rebuilds it, 177-236).
         if seg.pk_field is not None:
             fld = seg.schema.field_map()[seg.pk_field]

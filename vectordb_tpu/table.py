@@ -36,8 +36,8 @@ from .ops import sparse as sparse_ops
 from .schema import (DENSE_VECTOR_TYPES, SPARSE_VECTOR_TYPES, FieldType,
                      MetricType, TableSchema)
 from .segment import TableSegment
-from .wal import (DELETE, INSERT, UPSERT, WriteAheadLog, decode_delete_entry,
-                  encode_delete_entry)
+from .wal import (BIN_INSERT, BIN_UPSERT, DELETE, INSERT, UPSERT,
+                  WriteAheadLog, decode_delete_entry, encode_delete_entry)
 
 # Candidate-pool over-fetch for exact f32 re-ranking of bf16 device scores.
 RERANK_SLACK = 32
@@ -71,7 +71,7 @@ class Table:
         self.field_type_map = schema.field_type_map()
         self.metric_map = {f.name: f.metric_type for f in schema.fields}
 
-        self.segment_path = os.path.join(db_path, str(schema.id), "data.npz")
+        self.segment_path = os.path.join(db_path, str(schema.id), "data.vdb")
         self.segment = TableSegment.load(self.segment_path, schema,
                                          init_table_scale)
         self.wal = WriteAheadLog(db_path, schema.id, is_leader)
@@ -93,12 +93,22 @@ class Table:
     # ------------------------------------------------------------------
 
     def _apply_wal_entry(self, global_id: int, entry_type: int,
-                         content: str) -> None:
+                         content) -> None:
         if entry_type in (INSERT, UPSERT):
             records = json.loads(content)
             status = self.segment.insert(records, global_id,
                                          upsert=(entry_type == UPSERT),
                                          embedding_service=self.embedding_service)
+            if not status.ok():
+                logger.error("Fail to apply wal entry: " + status.message)
+        elif entry_type in (BIN_INSERT, BIN_UPSERT):
+            from .colcodec import decode_columns
+
+            columns, n_rows = decode_columns(content)
+            status = self.segment.insert_columns(
+                columns, n_rows, global_id,
+                upsert=(entry_type == BIN_UPSERT),
+                embedding_service=self.embedding_service)
             if not status.ok():
                 logger.error("Fail to apply wal entry: " + status.message)
         elif entry_type == DELETE:
@@ -118,11 +128,39 @@ class Table:
 
     def insert(self, records: List[Dict[str, Any]], upsert: bool = False,
                headers: Optional[Dict[str, str]] = None) -> Status:
-        wal_id = self.wal.write_entry(UPSERT if upsert else INSERT,
-                                      json.dumps(records))
-        return self.segment.insert(records, wal_id, upsert=upsert,
-                                   embedding_service=self.embedding_service,
-                                   headers=headers)
+        """WAL + insert. By default the WAL entry is a binary column batch
+        (colcodec) — a memcpy instead of re-serializing megabytes of JSON
+        per batch; set config.wal_text_format for the reference's text
+        format (logs this engine writes in text replay in the reference
+        engine unchanged)."""
+        if self.config.wal_text_format:
+            wal_id = self.wal.write_entry(UPSERT if upsert else INSERT,
+                                          json.dumps(records))
+            return self.segment.insert(records, wal_id, upsert=upsert,
+                                       embedding_service=self.embedding_service,
+                                       headers=headers)
+        status, columns, m, skipped = self.segment.pack_records(records)
+        if not status.ok():
+            return status
+        return self.insert_columns(columns, m, upsert=upsert,
+                                   headers=headers, pre_skipped=skipped)
+
+    def insert_columns(self, columns: Dict[str, Any], n_rows: int,
+                       upsert: bool = False,
+                       headers: Optional[Dict[str, str]] = None,
+                       pre_skipped: int = 0) -> Status:
+        """Bulk columnar insert (also the fast ingest API: dense fields as
+        [n, D] numpy arrays, primitives as arrays, strings as lists)."""
+        from .colcodec import encode_columns
+
+        payload = encode_columns(columns, n_rows,
+                                 self.segment.column_kinds())
+        wal_id = self.wal.write_binary_entry(
+            BIN_UPSERT if upsert else BIN_INSERT, payload)
+        return self.segment.insert_columns(
+            columns, n_rows, wal_id, upsert=upsert,
+            embedding_service=self.embedding_service, headers=headers,
+            pre_skipped=pre_skipped)
 
     def insert_prepare(self, pks: List[Any]) -> Dict[str, Any]:
         return self.segment.insert_prepare(pks)
@@ -485,9 +523,14 @@ class Table:
                 lat = filter_nodes[node.arguments[1]].double_value
                 lon = filter_nodes[node.arguments[2]].double_value
                 radius = filter_nodes[node.arguments[3]].double_value
-                lat_col, lon_col = seg.geo_cols[geo_field]
-                d = haversine_km(lat_col[:n], lon_col[:n], lat, lon)
-                cand = np.nonzero(d <= radius)[0].astype(np.int64)
+                # Geo-index uplift (reference SearchByAttribute geo path,
+                # vec_search_executor.cpp:986-1011): the grid index
+                # pre-restricts candidates; results re-sort by row id to
+                # preserve id-ascending skip/limit semantics.
+                cand = np.sort(np.asarray(
+                    seg.geo_indices[geo_field].search_within_radius(
+                        lat, lon, radius), dtype=np.int64))
+                cand = cand[cand < n]
             else:
                 cand = np.arange(n, dtype=np.int64)
 
@@ -630,7 +673,7 @@ class Table:
         return Status.OK()
 
     def dump(self, db_catalog_path: str) -> Status:
-        path = os.path.join(db_catalog_path, str(self.schema.id), "data.npz")
+        path = os.path.join(db_catalog_path, str(self.schema.id), "data.vdb")
         self.segment.skip_sync_disk = False
         return self.segment.save(path)
 

@@ -11,8 +11,10 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 import time
-from typing import Callable, List, Optional
+import zlib
+from typing import Callable, List, Optional, Tuple
 
 from .logger import logger
 from .utils import AtomicCounter, ensure_dir
@@ -23,6 +25,13 @@ LOG_RETENTION_S = 3600 * 24 * 7
 INSERT = 1
 DELETE = 2
 UPSERT = 3
+# Binary column-batch entries (this engine's extension; payload is a
+# colcodec blob instead of JSON text — see colcodec.py). Text entries 1-3
+# remain readable for logs written by the reference engine.
+BIN_INSERT = 4
+BIN_UPSERT = 5
+
+BINARY_MAGIC = b"VWALBIN1"
 
 
 class WriteAheadLog:
@@ -32,7 +41,11 @@ class WriteAheadLog:
         self.enabled = True
         self.counter = AtomicCounter()
         self._file = None
+        self._bin_file = None
         self._last_rotation = time.time()
+        # Native IO acceleration (C++ framing/fsync) when available.
+        from .native import get_native
+        self._native = get_native()
 
         id_path = os.path.join(self.logs_folder, "last_id.txt")
         if os.path.exists(id_path):
@@ -49,6 +62,9 @@ class WriteAheadLog:
         if self._file is not None:
             self._file.close()
             self._file = None
+        if self._bin_file is not None:
+            self._bin_file.close()
+            self._bin_file = None
         if self.is_leader:
             self._save_last_id()
 
@@ -60,10 +76,24 @@ class WriteAheadLog:
     def _rotate(self) -> None:
         if self._file is not None:
             self._file.close()
+        if self._bin_file is not None:
+            self._bin_file.close()
+            self._bin_file = None
         ensure_dir(self.logs_folder)
         name = os.path.join(self.logs_folder, f"{int(time.time())}.log")
         self._file = open(name, "a", encoding="utf-8")
+        self._bin_path = os.path.join(self.logs_folder,
+                                      f"{int(time.time())}.blog")
         self._last_rotation = time.time()
+
+    def _binary_file(self):
+        if self._bin_file is None:
+            fresh = not os.path.exists(self._bin_path)
+            self._bin_file = open(self._bin_path, "ab")
+            if fresh:
+                self._bin_file.write(BINARY_MAGIC)
+                self._bin_file.flush()
+        return self._bin_file
 
     def set_enabled(self, enabled: bool) -> None:
         self.enabled = enabled
@@ -84,52 +114,115 @@ class WriteAheadLog:
         self._file.flush()
         return next_id
 
-    def _sorted_log_files(self) -> List[str]:
+    def write_binary_entry(self, entry_type: int, payload: bytes) -> int:
+        """Append a binary (colcodec) entry: CRC-framed, flushed. The
+        native C++ appender handles framing+flush when built."""
+        if not self.enabled or not self.is_leader:
+            return self.counter.get()
+        if time.time() - self._last_rotation > ROTATION_INTERVAL_S:
+            self._rotate()
+        next_id = self.counter.increment_and_get()
+        f = self._binary_file()
+        if self._native is not None:
+            self._native.wal_append(f.fileno(), next_id, entry_type, payload)
+        else:
+            crc = zlib.crc32(payload) & 0xFFFFFFFF
+            f.write(struct.pack("<QBIQ", next_id, entry_type, crc,
+                                len(payload)))
+            f.write(payload)
+            f.flush()
+        return next_id
+
+    def _sorted_log_files(self, ext: str = ".log") -> List[str]:
         if not os.path.isdir(self.logs_folder):
             return []
         files = [os.path.join(self.logs_folder, f)
-                 for f in os.listdir(self.logs_folder) if f.endswith(".log")]
+                 for f in os.listdir(self.logs_folder) if f.endswith(ext)]
         return sorted(files)
 
-    def replay(self, apply_entry: Callable[[int, int, str], None],
+    def _read_text_entries(self, path: str):
+        out = []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                first = line.find(" ")
+                second = line.find(" ", first + 1)
+                if first < 0 or second < 0:
+                    continue
+                out.append((int(line[:first]),
+                            int(line[first + 1:second]),
+                            line[second + 1:]))
+        return out
+
+    def _read_binary_entries(self, path: str):
+        out = []
+        with open(path, "rb") as f:
+            if f.read(len(BINARY_MAGIC)) != BINARY_MAGIC:
+                logger.error("Bad binary WAL magic: " + path)
+                return out
+            while True:
+                head = f.read(21)
+                if len(head) < 21:
+                    break
+                gid, etype, crc, plen = struct.unpack("<QBIQ", head)
+                payload = f.read(plen)
+                if len(payload) < plen:
+                    logger.error("Truncated binary WAL entry in " + path)
+                    break
+                if (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+                    logger.error("CRC mismatch in binary WAL " + path)
+                    break
+                out.append((gid, etype, payload))
+        return out
+
+    def replay(self, apply_entry: Callable[[int, int, object], None],
                consumed_id: int) -> None:
         """Re-apply entries with id > consumed_id (Replay, wal:93-142).
 
-        apply_entry(global_id, entry_type, content_json_str).
+        apply_entry(global_id, entry_type, content) — content is a JSON str
+        for text entries (types 1-3) or a colcodec bytes payload for binary
+        entries (types 4-5). Text and binary logs are merged by global id.
         """
-        files = self._sorted_log_files()
-        for pt, path in enumerate(files):
-            update = False
+        per_file: List[Tuple[str, List]] = []
+        for path in self._sorted_log_files(".log"):
             try:
-                with open(path, "r", encoding="utf-8") as f:
-                    for line in f:
-                        line = line.rstrip("\n")
-                        if not line:
-                            continue
-                        first = line.find(" ")
-                        second = line.find(" ", first + 1)
-                        if first < 0 or second < 0:
-                            continue
-                        global_id = int(line[:first])
-                        self.counter.set_if_greater(global_id)
-                        if global_id <= consumed_id:
-                            continue
-                        update = True
-                        entry_type = int(line[first + 1:second])
-                        content = line[second + 1:]
-                        try:
-                            apply_entry(global_id, entry_type, content)
-                        except Exception as e:  # match reference: log & go on
-                            logger.error("Fail to apply wal entry: " + str(e))
+                per_file.append((path, self._read_text_entries(path)))
             except OSError as e:
                 logger.error("Error reading WAL file " + path + ": " + str(e))
+        for path in self._sorted_log_files(".blog"):
+            try:
+                per_file.append((path, self._read_binary_entries(path)))
+            except OSError as e:
+                logger.error("Error reading WAL file " + path + ": " + str(e))
+
+        entries = []
+        for path, ents in per_file:
+            entries.extend(ents)
+            for gid, _, _ in ents:
+                self.counter.set_if_greater(gid)
+        entries.sort(key=lambda e: e[0])
+        for gid, etype, content in entries:
+            if gid <= consumed_id:
                 continue
-            if self.is_leader and not update and pt < len(files) - 1:
-                try:
-                    os.remove(path)
-                except OSError:
-                    pass
+            try:
+                apply_entry(gid, etype, content)
+            except Exception as e:  # match reference: log & continue
+                logger.error("Fail to apply wal entry: " + str(e))
+
         if self.is_leader:
+            # Drop fully-consumed files (all but the most recent of each
+            # kind, mirroring the reference's keep-last behavior).
+            for kind in (".log", ".blog"):
+                files = self._sorted_log_files(kind)
+                for path in files[:-1]:
+                    ents = next((e for p, e in per_file if p == path), [])
+                    if all(g <= consumed_id for g, _, _ in ents):
+                        try:
+                            os.remove(path)
+                        except OSError:
+                            pass
             self._save_last_id()
 
     def clean_up_old_files(self) -> None:
