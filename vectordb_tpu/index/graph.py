@@ -356,8 +356,16 @@ class GraphIndex:
                         "components")
 
         _lap("done")
+        from ..metrics import metrics
+
+        build_s = _time.perf_counter() - t_start
+        metrics.inc("graph_builds_total")
+        metrics.observe("graph_build", build_s)
+        # Distance computations: n x n KNN block scan + pool/prune stages.
+        metrics.inc("build_distance_computations",
+                    float(n) * n + float(n) * (search_l * 4 + pool_size ** 2))
         logger.info(f"Graph build: {n} rows, degree {degree}x2, "
-                    f"{_time.perf_counter() - t_start:.1f}s")
+                    f"{build_s:.1f}s")
         return cls(segment, field_name, metric, adjacency, nav, n)
 
     # Persistence (role of ann_graph_<field>.bin,

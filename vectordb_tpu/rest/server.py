@@ -67,6 +67,7 @@ class RestServer:
         r("POST", r"^/api/(?P<db>[^/]+)/data/get$", self.get)
         r("POST", r"^/api/(?P<db>[^/]+)/data/load$", self.load_csv)
         r("GET", r"^/api/(?P<db>[^/]+)/statistics$", self.statistics)
+        r("GET", r"^/api/metrics$", self.metrics)
 
     def _route(self, method: str, pattern: str, handler: Callable) -> None:
         self.routes.append((method, re.compile(pattern), handler))
@@ -326,6 +327,12 @@ class RestServer:
         if not status.ok():
             return _status(500, status.message)
         return 200, {"statusCode": 200, "message": "", "result": result}
+
+    def metrics(self, params, body, headers):
+        from ..metrics import metrics as m
+
+        return 200, {"statusCode": 200, "message": "",
+                     "result": m.snapshot()}
 
     def rebuild(self, params, body, headers):
         status = self.db.rebuild()

@@ -31,6 +31,7 @@ from .expr.evaluator import FilterCompiler, find_nearby_uplift, haversine_km
 from .expr.parser import ExprNode, parse_expr
 from .facets import FacetExecutor
 from .logger import logger
+from .metrics import metrics
 from .ops import flat as flat_ops
 from .ops import sparse as sparse_ops
 from .schema import (DENSE_VECTOR_TYPES, SPARSE_VECTOR_TYPES, FieldType,
@@ -133,6 +134,8 @@ class Table:
         per batch; set config.wal_text_format for the reference's text
         format (logs this engine writes in text replay in the reference
         engine unchanged)."""
+        metrics.inc("insert_batches_total")
+        metrics.inc("insert_records_total", len(records))
         if self.config.wal_text_format:
             wal_id = self.wal.write_entry(UPSERT if upsert else INSERT,
                                           json.dumps(records))
@@ -211,8 +214,10 @@ class Table:
                 if s > 1e-10:
                     query_data = q / np.float32(np.sqrt(s))
 
-        ids, dists = self._search_ids(field_name, query_data, limit,
-                                      filter_nodes, is_sparse_query)
+        with metrics.timer("search"):
+            ids, dists = self._search_ids(field_name, query_data, limit,
+                                          filter_nodes, is_sparse_query)
+        metrics.inc("queries_total")
 
         facets: List[Any] = []
         rows: List[Dict[str, Any]] = []
@@ -673,6 +678,8 @@ class Table:
         return Status.OK()
 
     def dump(self, db_catalog_path: str) -> Status:
+        if not self.is_leader:
+            return Status.OK()  # followers never write (leader-only guard)
         path = os.path.join(db_catalog_path, str(self.schema.id), "data.vdb")
         self.segment.skip_sync_disk = False
         return self.segment.save(path)
