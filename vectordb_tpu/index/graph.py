@@ -109,9 +109,11 @@ def _build_batch_kernel(start, table, norms, boot_adj, boot_reps, knn_ids,
     node_vecs = jax.lax.dynamic_slice(
         table, (start, 0), (batch, table.shape[1])).astype(jnp.float32)
     node_ids = start + jnp.arange(batch, dtype=jnp.int32)
+    # Early-terminated search: the pool needs the PATH to the node's
+    # neighborhood, not full convergence.
     _, s_ids, s_vis = beam_search_kernel(
         node_vecs, table, norms, boot_adj, boot_reps, metric, search_l, 4,
-        search_iters)
+        search_iters, term_width=16)
     knn_b = jax.lax.dynamic_slice(
         knn_ids, (start, 0), (batch, knn_ids.shape[1]))
     pool_ids, pool_d = _pool_kernel(node_ids, node_vecs, s_ids, s_vis,
@@ -122,6 +124,25 @@ def _build_batch_kernel(start, table, norms, boot_adj, boot_reps, knn_ids,
     kept = _prune_batch_kernel(pool_vecs, pool_d, jnp.isfinite(pool_d),
                                metric, degree, alpha)
     return pool_ids, kept
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "degree", "batch"))
+def _knn_prune_batch_kernel(start, table, norms, knn_ids, knn_d, alpha,
+                            metric: int, degree: int, batch: int):
+    """Build-batch kernel for KNN-only pools (no search stage): prune each
+    node's exact-KNN list directly. Used when query-time rep seeding makes
+    long-range navigation edges unnecessary."""
+    ids_b = jax.lax.dynamic_slice(
+        knn_ids, (start, 0), (batch, knn_ids.shape[1]))
+    d_b = jax.lax.dynamic_slice(
+        knn_d, (start, 0), (batch, knn_d.shape[1]))
+    safe = jnp.clip(ids_b, 0, table.shape[0] - 1)
+    pool_vecs = jnp.take(table, safe.reshape(-1),
+                         axis=0).reshape(batch, ids_b.shape[1], -1)
+    kept = _prune_batch_kernel(pool_vecs, d_b, ids_b >= 0,
+                               metric, degree, alpha)
+    return ids_b, kept
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "degree"))
@@ -209,7 +230,8 @@ class GraphIndex:
     @classmethod
     def build(cls, segment, field_name: str, metric: MetricType,
               knn_k: int = DEFAULT_KNN_K, degree: int = DEFAULT_DEGREE,
-              alpha: float = DEFAULT_ALPHA) -> "GraphIndex":
+              alpha: float = DEFAULT_ALPHA,
+              search_pools: bool = True) -> "GraphIndex":
         import time as _time
 
         t_start = _time.perf_counter()
@@ -248,15 +270,19 @@ class GraphIndex:
         #    nsg.cpp:158-486), then occlusion pruning — all in node batches
         #    on device.
         r_total = degree * 2
-        knn_r = knn_ids[:, :r_total]
-        if knn_r.shape[1] < r_total:
-            knn_r = jnp.pad(knn_r, ((0, 0), (0, r_total - knn_r.shape[1])),
+        # Bootstrap graph for pool searches: half degree halves the gather
+        # volume of the (gather-bound) pool stage with negligible pool
+        # quality impact.
+        boot_deg = max(degree // 2, 16)
+        knn_r = knn_ids[:, :boot_deg]
+        if knn_r.shape[1] < boot_deg:
+            knn_r = jnp.pad(knn_r, ((0, 0), (0, boot_deg - knn_r.shape[1])),
                             constant_values=-1)
         boot_adj = jnp.where(knn_r >= 0, knn_r, -1).astype(jnp.int32)
         boot_reps = jnp.asarray(_make_rep_ids(n, nav))
         pool_size = min(128, max(degree * 2, 64))
         search_l = 64
-        search_iters = 32
+        search_iters = 24
 
         # Fixed-size node batches at dynamic offsets -> exactly one compiled
         # executable for the whole loop; results accumulate on device and
@@ -272,10 +298,15 @@ class GraphIndex:
             real_start = start
             if start + batch > n_rows_knn:
                 real_start = n_rows_knn - batch  # overlap tail, same shape
-            pool_ids, kept = _build_batch_kernel(
-                jnp.int32(real_start), store.buf, store.norms, boot_adj,
-                boot_reps, knn_ids, float(alpha), int(metric), degree,
-                pool_size, search_l, search_iters, batch)
+            if search_pools:
+                pool_ids, kept = _build_batch_kernel(
+                    jnp.int32(real_start), store.buf, store.norms, boot_adj,
+                    boot_reps, knn_ids, float(alpha), int(metric), degree,
+                    pool_size, search_l, search_iters, batch)
+            else:
+                pool_ids, kept = _knn_prune_batch_kernel(
+                    jnp.int32(real_start), store.buf, store.norms, knn_ids,
+                    knn_d, float(alpha), int(metric), degree, batch)
             if real_start != start:
                 delta = start - real_start
                 pool_ids, kept = pool_ids[delta:], kept[delta:]

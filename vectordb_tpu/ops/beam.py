@@ -45,10 +45,11 @@ def _cand_scores(q, vecs, q_norms, v_norms, metric: int):
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "beam_width", "expand", "max_iters",
-                     "num_seeds"))
+                     "num_seeds", "term_width"))
 def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
                        metric: int, beam_width: int, expand: int,
-                       max_iters: int, num_seeds: int = 32):
+                       max_iters: int, num_seeds: int = 32,
+                       term_width: int = 0):
     """One jitted program: seed-scan -> while(!converged) expand -> beam.
 
     queries:   [B, D]  f32 (already padded to the table's lane width)
@@ -108,9 +109,17 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
     # GetNeighbors, nsg.cpp:158-486).
     visited = jnp.full((b, M * max_iters), -1, dtype=jnp.int32)
 
+    # Termination: a query converges once its best `tw` beam entries are
+    # all expanded (the classic best-first stop: the nearest unexpanded
+    # candidate ranks worse than everything we would return). tw=L expands
+    # the whole beam (max recall); smaller tw trades a little recall for
+    # far fewer iterations.
+    tw = term_width if term_width > 0 else L
+    tw = min(tw, L)
+
     def cond(state):
         _, beam_exp, beam_d, _, it = state
-        has_work = jnp.any(~beam_exp & jnp.isfinite(beam_d))
+        has_work = jnp.any(~beam_exp[:, :tw] & jnp.isfinite(beam_d[:, :tw]))
         return jnp.logical_and(it < max_iters, has_work)
 
     def body(state):
@@ -165,7 +174,8 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
 def beam_search(graph, queries: np.ndarray, valid: np.ndarray,
                 metric: MetricType, beam_width: int = 128,
                 expand: int = DEFAULT_EXPAND,
-                max_iters: int = 0, num_seeds: int = 32) -> np.ndarray:
+                max_iters: int = 0, num_seeds: int = 32,
+                term_width: int = 0) -> np.ndarray:
     """Search `graph` (a GraphIndex) for a [B, D] query batch.
 
     Returns candidate ids [B, beam_width] int32 (unfiltered, may contain -1
@@ -181,7 +191,7 @@ def beam_search(graph, queries: np.ndarray, valid: np.ndarray,
     d, ids, _ = beam_search_kernel(
         jnp.asarray(qp), graph.table, graph.norms, graph.adjacency,
         graph.rep_ids, int(metric), int(beam_width), int(expand),
-        int(max_iters), num_seeds)
+        int(max_iters), num_seeds, int(term_width))
     ids = np.asarray(ids).astype(np.int64)
     ids[~np.isfinite(np.asarray(d))] = -1
     return ids

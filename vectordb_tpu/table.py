@@ -312,7 +312,9 @@ class Table:
             cand_ids = beam_ops.beam_search(
                 graph, queries, valid, metric,
                 beam_width=max(self.config.search_ef, k_eff + RERANK_SLACK),
-                expand=self.config.beam_expand)
+                expand=self.config.beam_expand,
+                term_width=max(self.config.beam_term_width,
+                               k_eff + RERANK_SLACK))
             # Validity filter on graph candidates (deleted / filtered rows
             # are traversed but never returned — reference post-filter).
             safe = np.clip(cand_ids, 0, len(valid) - 1)
