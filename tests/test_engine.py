@@ -336,3 +336,24 @@ class TestGeo:
         _, res = vdb.query("g", "V", [0.0, 0.0], ["ID"], 10,
                            "NEARBY(Loc, 48.0, 2.0, 10)")
         assert [r["ID"] for r in res] == [3]
+
+
+class TestHighDim:
+    def test_960d_gist_like(self, tmp_path):
+        """GIST-960-style dimensionality pads to 1024 lanes cleanly."""
+        import vectordb_tpu as vdb
+        vdb.load_db("g960", str(tmp_path / "g960"), vector_scale=600)
+        vdb.use_db("g960")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 960,
+             "metricType": "EUCLIDEAN"}])
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(600, 960)).astype(np.float32)
+        code, result = vdb.insert_columns(
+            "t", {"ID": np.arange(600), "V": x})
+        assert result["inserted"] == 600
+        vdb.rebuild()  # graph build at 960-d
+        _, res = vdb.query("t", "V", x[123].tolist(), ["ID"], 5, "", True)
+        assert res[0]["ID"] == 123
+        assert res[0]["@distance"] == pytest.approx(0.0, abs=1e-2)

@@ -292,7 +292,10 @@ class GraphIndex:
         batch = min(PRUNE_BATCH, n_rows_knn)
         kept_parts = []
         pool_parts = []
+        from ..utils import build_pause_gate
+
         for start in range(0, n_rows_knn, batch):
+            build_pause_gate.check_wait()  # BuilderSuspend equivalent
             if start >= n:
                 break
             real_start = start

@@ -414,18 +414,41 @@ class Table:
         ids[~np.isfinite(d)] = -1
         return ids, d.astype(np.float64)
 
+    def _sparse_index(self, field_name: str) -> "sparse_ops.SparseColumnIndex":
+        """CSR snapshot of a sparse column, cached by mutation version."""
+        cache = getattr(self, "_sparse_cache", None)
+        if cache is None:
+            cache = self._sparse_cache = {}
+        ver = self.segment.mutation_version
+        hit = cache.get(field_name)
+        if hit is not None and hit[0] == ver:
+            return hit[1]
+        idx = sparse_ops.SparseColumnIndex(
+            self.segment.sparse_cols[field_name],
+            self.segment.record_number)
+        cache[field_name] = (ver, idx)
+        return idx
+
     def _sparse_scan(self, field_name: str, query, valid: np.ndarray,
                      metric: MetricType, k: int
                      ) -> Tuple[np.ndarray, np.ndarray]:
         rows = np.nonzero(valid)[0]
         if len(rows) == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
-        col = self.segment.sparse_cols[field_name]
-        d = sparse_ops.batch_distances(query, col, rows, metric)
+        d = self._sparse_index(field_name).scores(query, metric)[rows]
         k = min(k, len(rows))
-        part = np.argpartition(d, k - 1)[:k]
-        order = part[np.argsort(d[part], kind="stable")]
-        return rows[order].astype(np.int64), d[order].astype(np.float64)
+        # Over-fetch, then exact merge-join re-scoring of the candidates
+        # (the device path's f32 cumsum drifts slightly).
+        kk = min(k + RERANK_SLACK, len(rows))
+        part = np.argpartition(d, kk - 1)[:kk]
+        cand = rows[part]
+        col = self.segment.sparse_cols[field_name]
+        exact = np.asarray([
+            sparse_ops.distance(query, col[r], metric)
+            if col[r] is not None else np.inf
+            for r in cand], dtype=np.float64)
+        order = np.argsort(exact, kind="stable")[:k]
+        return cand[order].astype(np.int64), exact[order]
 
     # ------------------------------------------------------------------
     # Hybrid search: dense + sparse fusion re-ranking (no reference

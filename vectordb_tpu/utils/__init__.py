@@ -1,5 +1,7 @@
 from .common import (atomic_write_bytes, atomic_write_text, is_valid_name,
-                     ensure_dir, AtomicCounter)
+                     ensure_dir, AtomicCounter, BuildPauseGate,
+                     build_pause_gate)
 
 __all__ = ["atomic_write_bytes", "atomic_write_text", "is_valid_name",
-           "ensure_dir", "AtomicCounter"]
+           "ensure_dir", "AtomicCounter", "BuildPauseGate",
+           "build_pause_gate"]

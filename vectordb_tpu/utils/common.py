@@ -61,3 +61,25 @@ class AtomicCounter:
         with self._lock:
             if value > self._value:
                 self._value = value
+
+
+class BuildPauseGate:
+    """Global build pause gate (reference utils/builder_suspend.*, checked
+    inside NSG Link loops at nsg.cpp:499,534,693): foreground work can
+    suspend background index builds between batches."""
+
+    def __init__(self):
+        self._resume = threading.Event()
+        self._resume.set()
+
+    def suspend(self) -> None:
+        self._resume.clear()
+
+    def resume(self) -> None:
+        self._resume.set()
+
+    def check_wait(self, timeout: float = None) -> None:
+        self._resume.wait(timeout)
+
+
+build_pause_gate = BuildPauseGate()
