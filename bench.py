@@ -34,7 +34,7 @@ def main():
                                      TableSchema)
     from vectordb_tpu.segment import TableSegment
 
-    n, dim, k, n_queries, batch = 500_000, 128, 10, 1024, 512
+    n, dim, k, n_queries, batch = 500_000, 128, 10, 2048, 2048
     rng = np.random.default_rng(0)
     centers = rng.normal(size=(3000, dim)) * 2
     x = (centers[rng.integers(0, 3000, n)]

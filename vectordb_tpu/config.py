@@ -33,7 +33,7 @@ class Config:
         self.rebuild_threads = 1
         self.pre_filter = False
         # TPU-specific knobs (no reference analogue).
-        self.search_ef = 128          # beam width for graph search
+        self.search_ef = 64           # beam width for graph search
         self.query_batch_window_ms = 2.0   # batching window for concurrent queries
         self.use_bf16_matmul = True   # bf16 MXU distance blocks with f32 accumulation
         self.brute_force_threshold = 512   # reference vec_search_executor.hpp:28
@@ -45,9 +45,9 @@ class Config:
         self.graph_alpha = 1.2
         self.beam_expand = 4          # beam entries expanded per iteration
         # Stop a query once its best `beam_term_width` entries are all
-        # expanded (0 = whole beam). 32 keeps recall while cutting ~30%
-        # of iterations.
-        self.beam_term_width = 32
+        # expanded (0 = whole beam). 16 keeps recall@10 >= 0.999 on
+        # SIFT-class data while roughly doubling QPS vs full-beam.
+        self.beam_term_width = 16
         # Write WAL insert entries as the reference's JSON-text lines
         # instead of binary column batches (slower; for interop).
         self.wal_text_format = False

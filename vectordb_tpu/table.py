@@ -46,7 +46,7 @@ RERANK_SLACK = 32
 # Query batches are padded up to these sizes so each table compiles at most
 # len(BATCH_BUCKETS) kernel shapes (per-shape XLA compilation is expensive;
 # padded lanes are nearly free on the MXU).
-BATCH_BUCKETS = (16, 128, 512, 1024)
+BATCH_BUCKETS = (16, 128, 512, 2048)
 
 
 def _bucket_batch(b: int) -> int:
