@@ -166,4 +166,33 @@ uint32_t vdb_crc32(const uint8_t* buf, uint64_t len) {
   return crc32_ieee(buf, len);
 }
 
+// Reverse-edge insertion for graph construction (the role of the reference
+// NSG InterInsert, nsg.cpp:583-653): for every forward edge u -> v, append
+// u into v's free adjacency slots, rank-capped at r_total. adjacency is
+// [n, r_total] int32 with forward edges already in the first `degree`
+// columns (-1 padding). fill_out is [n] int32 receiving the final edge
+// counts. One linear pass over the edge list.
+void vdb_reverse_edges(const int32_t* fwd, int64_t n, int degree,
+                       int r_total, int32_t* adjacency, int32_t* fill_out) {
+  for (int64_t u = 0; u < n; u++) {
+    int c = 0;
+    const int32_t* row = adjacency + u * r_total;
+    while (c < degree && row[c] >= 0) c++;
+    fill_out[u] = c;
+  }
+  for (int64_t u = 0; u < n; u++) {
+    const int32_t* row = fwd + u * static_cast<int64_t>(degree);
+    for (int e = 0; e < degree; e++) {
+      int32_t v = row[e];
+      if (v < 0) break;
+      int32_t f = fill_out[v];
+      if (f < r_total) {
+        adjacency[static_cast<int64_t>(v) * r_total + f] =
+            static_cast<int32_t>(u);
+        fill_out[v] = f + 1;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -123,7 +123,19 @@ def _build_batch_kernel(start, table, norms, boot_adj, boot_reps, knn_ids,
                          axis=0).reshape(batch, pool_size, -1)
     kept = _prune_batch_kernel(pool_vecs, pool_d, jnp.isfinite(pool_d),
                                metric, degree, alpha)
-    return pool_ids, kept
+    return _extract_fwd(pool_ids, kept, degree)
+
+
+def _extract_fwd(pool_ids, kept, degree: int):
+    """Selected pool entries -> padded forward-edge rows [B, degree], on
+    device (fetching the full pool/kept arrays costs 5x the transfer)."""
+    key = jnp.where(kept, 0, 1).astype(jnp.int32)
+    _, sel = jax.lax.sort((key, pool_ids), dimension=1, num_keys=1,
+                          is_stable=True)
+    sel = sel[:, :degree]
+    counts = jnp.sum(kept, axis=1).astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
+    return jnp.where(col < counts[:, None], sel, -1)
 
 
 @functools.partial(
@@ -142,7 +154,7 @@ def _knn_prune_batch_kernel(start, table, norms, knn_ids, knn_d, alpha,
                          axis=0).reshape(batch, ids_b.shape[1], -1)
     kept = _prune_batch_kernel(pool_vecs, d_b, ids_b >= 0,
                                metric, degree, alpha)
-    return ids_b, kept
+    return _extract_fwd(ids_b, kept, degree)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "degree"))
@@ -290,10 +302,9 @@ class GraphIndex:
         _lap("pool+prune")
         n_rows_knn = knn_ids.shape[0]
         batch = min(PRUNE_BATCH, n_rows_knn)
-        kept_parts = []
-        pool_parts = []
         from ..utils import build_pause_gate
 
+        fwd_parts = []
         for start in range(0, n_rows_knn, batch):
             build_pause_gate.check_wait()  # BuilderSuspend equivalent
             if start >= n:
@@ -302,50 +313,48 @@ class GraphIndex:
             if start + batch > n_rows_knn:
                 real_start = n_rows_knn - batch  # overlap tail, same shape
             if search_pools:
-                pool_ids, kept = _build_batch_kernel(
+                fwd_b = _build_batch_kernel(
                     jnp.int32(real_start), store.buf, store.norms, boot_adj,
                     boot_reps, knn_ids, float(alpha), int(metric), degree,
                     pool_size, search_l, search_iters, batch)
             else:
-                pool_ids, kept = _knn_prune_batch_kernel(
+                fwd_b = _knn_prune_batch_kernel(
                     jnp.int32(real_start), store.buf, store.norms, knn_ids,
                     knn_d, float(alpha), int(metric), degree, batch)
             if real_start != start:
-                delta = start - real_start
-                pool_ids, kept = pool_ids[delta:], kept[delta:]
-            kept_parts.append(kept)
-            pool_parts.append(pool_ids)
-        # Single device->host fetch of the whole pruned edge set.
+                fwd_b = fwd_b[start - real_start:]
+            fwd_parts.append(fwd_b)
+        # Single device->host fetch of the pruned forward edges.
         _lap("fetch")
-        kept_h = np.asarray(jnp.concatenate(kept_parts, axis=0))[:n]
-        pool_h = np.asarray(jnp.concatenate(pool_parts, axis=0))[:n]
+        fwd = np.ascontiguousarray(
+            np.asarray(jnp.concatenate(fwd_parts, axis=0))[:n],
+            dtype=np.int32)
         _lap("edges")
-        # Vectorized forward-edge extraction: kept-first stable order.
-        order = np.argsort(~kept_h, axis=1, kind="stable")[:, :degree]
-        cand = np.take_along_axis(pool_h, order, axis=1)
-        counts = kept_h.sum(axis=1)
-        col = np.arange(degree)[None, :]
-        fwd = np.where(col < counts[:, None], cand, -1).astype(np.int32)
 
-        # 4. Reverse edges into the padded slack (rank-capped), fully
-        #    vectorized: group reverse candidates by destination and write
-        #    each group's prefix into the free slots.
+        # 4. Reverse edges into the padded slack (rank-capped): one linear
+        #    pass in the native C++ runtime, numpy fallback otherwise.
         adjacency = np.full((n, r_total), -1, dtype=np.int32)
         adjacency[:, :degree] = fwd
-        fill = (fwd >= 0).sum(axis=1).astype(np.int64)
-        src = np.repeat(np.arange(n, dtype=np.int32), degree)
-        dst = fwd.reshape(-1)
-        ok = dst >= 0
-        src, dst = src[ok], dst[ok]
-        order = np.argsort(dst, kind="stable")
-        dsts, srcs = dst[order], src[order]
-        uniq, first_idx, cnt = np.unique(dsts, return_index=True,
-                                         return_counts=True)
-        rank = np.arange(len(dsts)) - np.repeat(first_idx, cnt)
-        slots = fill[dsts] + rank
-        in_range = slots < r_total
-        adjacency[dsts[in_range], slots[in_range]] = srcs[in_range]
-        fill = (adjacency >= 0).sum(axis=1).astype(np.int64)
+        from ..native import get_native
+
+        native = get_native()
+        if native is not None and hasattr(native, "reverse_edges"):
+            fill = native.reverse_edges(fwd, adjacency, degree, r_total)
+        else:
+            fill = (fwd >= 0).sum(axis=1).astype(np.int64)
+            src = np.repeat(np.arange(n, dtype=np.int32), degree)
+            dst = fwd.reshape(-1)
+            ok = dst >= 0
+            src, dst = src[ok], dst[ok]
+            order = np.argsort(dst, kind="stable")
+            dsts, srcs = dst[order], src[order]
+            uniq, first_idx, cnt = np.unique(dsts, return_index=True,
+                                             return_counts=True)
+            rank = np.arange(len(dsts)) - np.repeat(first_idx, cnt)
+            slots = fill[dsts] + rank
+            in_range = slots < r_total
+            adjacency[dsts[in_range], slots[in_range]] = srcs[in_range]
+            fill = (adjacency >= 0).sum(axis=1).astype(np.int64)
 
         # 5. Connectivity repair (role of CheckConnectivity,
         #    nsg.cpp:687-775): BFS from nav; while components remain

@@ -38,6 +38,10 @@ class Native:
         lib.vdb_snapshot_write.restype = ctypes.c_int64
         lib.vdb_crc32.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
         lib.vdb_crc32.restype = ctypes.c_uint32
+        lib.vdb_reverse_edges.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.vdb_reverse_edges.restype = None
 
     def wal_append(self, fd: int, entry_id: int, entry_type: int,
                    payload: bytes, do_fsync: bool = False) -> None:
@@ -60,6 +64,23 @@ class Native:
 
     def crc32(self, data: bytes) -> int:
         return int(self.lib.vdb_crc32(data, len(data)))
+
+    def reverse_edges(self, fwd, adjacency, degree: int, r_total: int):
+        """In-place reverse-edge insertion (see vdb_reverse_edges).
+
+        fwd: contiguous int32 [n, degree]; adjacency: contiguous int32
+        [n, r_total] with forward edges in the first columns. Returns the
+        per-node fill counts [n] int64.
+        """
+        import numpy as np
+
+        n = fwd.shape[0]
+        fill = np.zeros(n, dtype=np.int32)
+        self.lib.vdb_reverse_edges(
+            fwd.ctypes.data_as(ctypes.c_void_p), n, degree, r_total,
+            adjacency.ctypes.data_as(ctypes.c_void_p),
+            fill.ctypes.data_as(ctypes.c_void_p))
+        return fill.astype(np.int64)
 
 
 def _build() -> bool:
