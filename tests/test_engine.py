@@ -357,3 +357,26 @@ class TestHighDim:
         _, res = vdb.query("t", "V", x[123].tolist(), ["ID"], 5, "", True)
         assert res[0]["ID"] == 123
         assert res[0]["@distance"] == pytest.approx(0.0, abs=1e-2)
+
+
+class TestSparseFilter:
+    def test_sparse_query_with_filter(self, tmp_path):
+        """Metadata filters compose with sparse vector queries
+        (reference filters-on-sparse gtest)."""
+        import vectordb_tpu as vdb
+        make_db(tmp_path)
+        vdb.create_table("sf", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Cat", "dataType": "STRING"},
+            {"name": "Vec", "dataType": "SPARSE_VECTOR_FLOAT",
+             "dimensions": 50, "metricType": "DOT_PRODUCT"}])
+        vdb.insert("sf", [
+            {"ID": i, "Cat": "a" if i % 2 == 0 else "b",
+             "Vec": {"indices": [i % 50], "values": [float(i + 1)]}}
+            for i in range(20)])
+        code, res = vdb.query(
+            "sf", "Vec", {"indices": [5], "values": [1.0]},
+            ["ID", "Cat"], 5, "Cat = 'b'", True)
+        assert all(r["Cat"] == "b" for r in res)
+        # row 5 has index 5 value 6.0 and Cat 'b' -> best
+        assert res[0]["ID"] == 5

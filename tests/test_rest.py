@@ -218,3 +218,80 @@ class TestLiveServer:
             assert not errors, errors
         finally:
             httpd.shutdown()
+
+
+class TestQueryByContent:
+    def test_rest_query_text_via_mock_sidecar(self, tmp_path):
+        """POST data/query with `query` text routes through the embedding
+        sidecar (reference SearchByContent path)."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        DIM = 4
+
+        def embed(text):
+            h = abs(hash(text))
+            v = np.asarray([(h >> (8 * i)) % 251 for i in range(DIM)],
+                           np.float32)
+            return (v / (np.linalg.norm(v) + 1e-9)).tolist()
+
+        class Sidecar(BaseHTTPRequestHandler):
+            def _send(self, obj):
+                data = json.dumps(obj).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._send({"statusCode": 200, "result": [
+                    {"model": "BAAI/bge-small-en-v1.5", "dim": DIM,
+                     "dense": True, "dimensionReduction": False}]})
+
+            def do_POST(self):
+                body = json.loads(self.rfile.read(
+                    int(self.headers["Content-Length"])))
+                self._send({"statusCode": 200,
+                            "result": [embed(t)
+                                       for t in body.get("documents", [])]})
+
+            def log_message(self, *a):
+                pass
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), Sidecar)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            from vectordb_tpu.services import EmbeddingService
+
+            eng = DBServer()
+            eng.inject_embedding_service(EmbeddingService(
+                f"http://127.0.0.1:{httpd.server_address[1]}"))
+            rest = RestServer(eng)
+            code, _ = rest.dispatch(
+                "POST", "/api/load",
+                {"name": "cdb", "path": str(tmp_path / "cdb")}, {})
+            assert code == 200
+            code, resp = rest.dispatch(
+                "POST", "/api/cdb/schema/tables",
+                {"name": "docs",
+                 "fields": [
+                     {"name": "ID", "dataType": "INT", "primaryKey": True},
+                     {"name": "Doc", "dataType": "STRING"}],
+                 "indices": [{"name": "DocIdx", "field": "Doc",
+                              "model": "BAAI/bge-small-en-v1.5"}]}, {})
+            assert code == 200, resp
+            code, resp = rest.dispatch(
+                "POST", "/api/cdb/data/insert",
+                {"table": "docs", "data": [
+                    {"ID": 1, "Doc": "alpha"},
+                    {"ID": 2, "Doc": "beta"}]}, {})
+            assert code == 200, resp
+            code, resp = rest.dispatch(
+                "POST", "/api/cdb/data/query",
+                {"table": "docs", "query": "beta", "limit": 1,
+                 "response": ["ID", "Doc"]}, {})
+            assert code == 200, resp
+            assert resp["result"][0]["ID"] == 2
+            eng.stop()
+        finally:
+            httpd.shutdown()

@@ -31,7 +31,7 @@ TILE_C = 8192    # table columns (rows of the table) per tile;
                  # TILE_C // GROUP = 128 keeps output blocks lane-aligned
 
 
-def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref,
+def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref, mask_ref,
                         val_ref, idx_ref, *, metric: int,
                         n_valid: int, exclude_self: bool):
     """One (query-tile, column-tile) grid cell.
@@ -63,6 +63,7 @@ def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref,
 
     col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tc), 1)
     invalid = col_ids >= n_valid
+    invalid = invalid | (mask_ref[:].reshape(1, tc) == 0)
     if exclude_self:
         row_ids = base_ref[0, 0] + jax.lax.broadcasted_iota(
             jnp.int32, (tq, tc), 0)
@@ -95,17 +96,24 @@ def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref,
 def partial_min_scan(queries, q_norms, q_base, table, norms,
                      metric: int, group: int = GROUP, n_valid: int = 0,
                      exclude_self: bool = False, tile_q: int = TILE_Q,
-                     tile_c: int = TILE_C):
+                     tile_c: int = TILE_C, mask=None):
     """[B, D] queries vs [N, D] table -> ([B, N/group] min-vals, ids).
 
     B % tile_q == 0 and N % tile_c == 0 required (callers pad).
+    mask: optional [N] f32 (0 = excluded row), fused into the scan.
     """
+    import jax.numpy as jnp_  # local alias for mask default
+
     b, d = queries.shape
     n = table.shape[0]
     grid = (b // tile_q, n // tile_c)
     fold = tile_c // 128  # columns folded per survivor (the "group")
     gcols = n // fold
     base = q_base.reshape(1, 1).astype(jnp.int32)
+    if mask is None:
+        mask = jnp_.ones((n, 1), jnp_.float32)
+    else:
+        mask = mask.reshape(n, 1).astype(jnp_.float32)
 
     return pl.pallas_call(
         functools.partial(_partial_min_kernel, metric=metric,
@@ -119,6 +127,8 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_c, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_c, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -140,7 +150,7 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
             transcendentals=0,
         ),
     )(queries, q_norms.reshape(b, 1), base, table,
-      norms.reshape(n, 1).astype(jnp.float32))
+      norms.reshape(n, 1).astype(jnp.float32), mask)
 
 
 def supports(n_pad: int, dim_padded: int, b: int,
@@ -153,15 +163,17 @@ def supports(n_pad: int, dim_padded: int, b: int,
                                              "n_valid", "exclude_self"))
 def fused_topk(queries, q_norms, q_base, table, norms, metric: int, k: int,
                group: int = GROUP, n_valid: int = 0,
-               exclude_self: bool = False):
+               exclude_self: bool = False, mask=None):
     """Fused partial-min scan + exact top-k over the survivors.
 
     Returns (dists [B, k] f32 ascending, ids [B, k] int32). At most one
     result per G-column group (candidates co-located within a group shadow
-    each other — the approx_max_k tradeoff).
+    each other — the approx_max_k tradeoff). Callers that need exact
+    rankings re-rank the survivors (the engine's standard f32 re-rank).
     """
     vals, ids = partial_min_scan(queries, q_norms, q_base, table, norms,
-                                 metric, group, n_valid, exclude_self)
+                                 metric, group, n_valid, exclude_self,
+                                 mask=mask)
     k = min(k, vals.shape[1])
     neg_top, sel = jax.lax.top_k(-vals, k)
     return -neg_top, jnp.take_along_axis(ids, sel, axis=1)
