@@ -1,0 +1,71 @@
+"""Query batcher: concurrent single queries coalesce into one kernel call."""
+import threading
+
+import numpy as np
+import pytest
+
+from vectordb_tpu.batcher import QueryBatcher
+from vectordb_tpu.config import global_config
+from vectordb_tpu.db_server import DBServer
+from vectordb_tpu.metrics import metrics
+
+
+def test_concurrent_queries_group_and_stay_correct(tmp_path):
+    eng = DBServer()
+    eng.load_db("bdb", str(tmp_path / "bdb"))
+    eng.create_table("bdb", {"name": "t", "fields": [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 8,
+         "metricType": "EUCLIDEAN"}]})
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 8)).astype(np.float32)
+    eng.insert("bdb", "t", [{"ID": i, "V": x[i].tolist()}
+                            for i in range(500)])
+    metrics.reset()
+    # Coalescing needs a live executor loop (the server runs it on main).
+    loop = threading.Thread(target=eng.device_executor.run_loop, daemon=True)
+    loop.start()
+    try:
+        errors = []
+        barrier = threading.Barrier(8)
+
+        def worker(i):
+            try:
+                barrier.wait()
+                st, rows, _ = eng.search("bdb", "t", "V", ["ID"],
+                                         x[i].tolist(), 1)
+                assert st.ok(), st.message
+                assert rows[0]["ID"] == i, (i, rows)
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        snap = metrics.snapshot()["counters"]
+        groups = snap.get("batched_query_groups_total", 0)
+        size = snap.get("batched_query_group_size", 0)
+        assert size == 8
+        assert groups < 8  # at least some queries coalesced
+    finally:
+        eng.device_executor.stop()
+        loop.join(timeout=5)
+        eng.stop()
+
+
+def test_batcher_propagates_errors():
+    class BoomTable:
+        class segment:
+            mutation_version = 0
+
+        def batch_dense_search(self, *a, **k):
+            raise RuntimeError("boom")
+
+    b = QueryBatcher()
+    with pytest.raises(RuntimeError, match="boom"):
+        b.search(BoomTable(), "V", np.zeros(4, np.float32), 0,
+                 np.ones(4, bool), 1, 1, False)

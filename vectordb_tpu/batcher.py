@@ -1,0 +1,93 @@
+"""Query batcher: coalesces concurrent single queries into one kernel call.
+
+The reference serves concurrent queries by handing each HTTP thread its own
+executor from a pool of NumExecutorPerField
+(/root/reference/engine/db/table_mvp.cpp:72-89). On TPU the equivalent is
+BATCHING: concurrent requests that share the same (table, field, metric,
+limit, filter-state) coalesce into one batched beam-search / flat-scan call.
+
+Coalescing is execution-time, not window-based: the first request of a
+group submits a runner to the device executor; every request that arrives
+while earlier work still occupies the device joins the group; the runner
+snapshots and closes the group only when the device actually gets to it.
+Under closed-loop load the group size therefore grows to the number of
+concurrent clients — per-query cost amortizes to the batched kernel rate —
+while a lone query runs immediately with no added latency.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import global_config
+from .metrics import metrics
+
+
+class _Group:
+    def __init__(self):
+        self.queries: List[np.ndarray] = []
+        self.done = threading.Event()
+        self.results: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.error: Optional[BaseException] = None
+
+
+class QueryBatcher:
+    def __init__(self, device_executor=None, config=None):
+        self.device_executor = device_executor
+        self.config = config or global_config
+        self._lock = threading.Lock()
+        self._open: Dict[Any, _Group] = {}
+
+    def search(self, table, field_name: str, query: np.ndarray,
+               valid_key: Any, valid: np.ndarray, metric, k: int,
+               mask_cacheable: bool) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched equivalent of one batch_dense_search([query]) call.
+
+        valid_key identifies the mask (e.g. the segment mutation version
+        for pure-validity masks); queries only group when it matches.
+        """
+        key = (id(table), field_name, int(metric), k, valid_key,
+               mask_cacheable)
+        with self._lock:
+            group = self._open.get(key)
+            leader = group is None
+            if leader:
+                group = _Group()
+                self._open[key] = group
+            my_index = len(group.queries)
+            group.queries.append(query)
+
+        if leader:
+            def runner():
+                # Runs on the device executor when the device frees up;
+                # snapshot + close the group at that moment.
+                with self._lock:
+                    if self._open.get(key) is group:
+                        del self._open[key]
+                    batch = np.stack(group.queries, axis=0)
+                metrics.inc("batched_query_groups_total")
+                metrics.inc("batched_query_group_size", batch.shape[0])
+                try:
+                    group.results = table.batch_dense_search(
+                        field_name, batch, valid, metric, k,
+                        mask_cacheable=mask_cacheable)
+                except BaseException as e:
+                    group.error = e
+                finally:
+                    group.done.set()
+
+            if self.device_executor is not None:
+                # run(): executes inline when no executor loop is active
+                # (library mode), else queues behind in-flight device work —
+                # which is exactly the coalescing opportunity.
+                self.device_executor.run(runner)
+            else:
+                runner()
+
+        group.done.wait()
+        if group.error is not None:
+            raise group.error
+        ids, dists = group.results
+        return ids[my_index], dists[my_index]

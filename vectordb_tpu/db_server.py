@@ -15,6 +15,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .batcher import QueryBatcher
 from .catalog import Catalog
 from .config import global_config
 from .database import Database
@@ -37,6 +38,8 @@ class DBServer:
         # All device work funnels through this executor (see executor.py);
         # with no loop running it executes inline on the calling thread.
         self.device_executor = DeviceExecutor()
+        # Concurrent unfiltered queries coalesce into batched kernel calls.
+        self.query_batcher = QueryBatcher(self.device_executor)
         self.databases: Dict[str, Database] = {}
         self._lock = threading.Lock()
         self.is_leader = True
@@ -190,6 +193,9 @@ class DBServer:
         if table is None:
             raise VectorDBError(DB_UNEXPECTED_ERROR,
                                 "Table not found: " + table_name)
+        # Attach the shared device executor + batcher (idempotent).
+        table.device_executor = self.device_executor
+        table.batcher = self.query_batcher
         return table
 
     def insert(self, db_name: str, table_name: str,
@@ -301,9 +307,9 @@ class DBServer:
                         return (Status(DB_UNEXPECTED_ERROR,
                                        "Query dimension doesn't match the "
                                        "vector field dimension."), [], [])
-            rows, facets = self.device_executor.run(
-                table.search, field_name, query_fields, dim, query,
-                limit, nodes, with_distance, facet_executors)
+            rows, facets = table.search(field_name, query_fields, dim,
+                                        query, limit, nodes, with_distance,
+                                        facet_executors)
         except VectorDBError as e:
             return e.status, [], []
         return Status.OK(), rows, facets
@@ -321,9 +327,9 @@ class DBServer:
             nodes = parse_expr(filter_str or "", table.field_type_map)
             facet_executors = preprocess_facets(facets_config or [],
                                                 table.field_type_map)
-            rows, facets = self.device_executor.run(
-                table.hybrid_search, subqueries, limit, nodes,
-                with_distance, query_fields, rerank, facet_executors)
+            rows, facets = table.hybrid_search(
+                subqueries, limit, nodes, with_distance, query_fields,
+                rerank, facet_executors)
         except VectorDBError as e:
             return e.status, [], []
         return Status.OK(), rows, facets

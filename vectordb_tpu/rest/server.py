@@ -367,6 +367,10 @@ def create_server(port: int = 8888, db_server: Optional[DBServer] = None,
                   host: str = "0.0.0.0") -> ThreadingHTTPServer:
     rest = RestServer(db_server)
 
+    class Server(ThreadingHTTPServer):
+        request_queue_size = 256  # survive large client fan-in
+        daemon_threads = True
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -420,4 +424,4 @@ def create_server(port: int = 8888, db_server: Optional[DBServer] = None,
         def log_message(self, fmt, *args):  # request log via engine logger
             logger.info("%s - %s" % (self.address_string(), fmt % args))
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return Server((host, port), Handler)

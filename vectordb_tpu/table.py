@@ -252,12 +252,18 @@ class Table:
 
         metric = self.metric_map[field_name]
         if is_sparse:
-            ids, dists = self._sparse_scan(field_name, query_data, valid,
-                                           metric, k_cand)
+            run = getattr(self, "device_executor", None)
+            if run is not None:
+                ids, dists = run.run(self._sparse_scan, field_name,
+                                     query_data, valid, metric, k_cand)
+            else:
+                ids, dists = self._sparse_scan(field_name, query_data,
+                                               valid, metric, k_cand)
         else:
             ids, dists = self._dense_search(
                 field_name, query_data, valid, metric, k_cand,
-                mask_cacheable=(compiler is None or uses_distance))
+                mask_cacheable=(compiler is None or uses_distance),
+                batchable=(compiler is None))
 
         # Post-filter for @distance predicates (reference top-L scan,
         # vec_search_executor.cpp:906-927).
@@ -268,14 +274,28 @@ class Table:
 
     def _dense_search(self, field_name: str, query: np.ndarray,
                       valid: np.ndarray, metric: MetricType, k: int,
-                      mask_cacheable: bool = False
+                      mask_cacheable: bool = False, batchable: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Single-query dense search: graph path when a fresh-enough graph
         exists and the table is large, else fused flat scan. Returns exact
-        f32 distances (device scores re-ranked on host)."""
-        ids, dists = self.batch_dense_search(
-            field_name, query[None, :], valid, metric, k,
-            mask_cacheable=mask_cacheable)
+        f32 distances (device scores re-ranked on host).
+
+        Unfiltered queries route through the QueryBatcher (when attached):
+        concurrent requests coalesce into one batched kernel call."""
+        batcher = getattr(self, "batcher", None)
+        if batcher is not None and batchable:
+            return batcher.search(self, field_name, query,
+                                  self.segment.mutation_version, valid,
+                                  metric, k, mask_cacheable)
+        run = getattr(self, "device_executor", None)
+        if run is not None:
+            ids, dists = run.run(self.batch_dense_search, field_name,
+                                 query[None, :], valid, metric, k,
+                                 mask_cacheable=mask_cacheable)
+        else:
+            ids, dists = self.batch_dense_search(
+                field_name, query[None, :], valid, metric, k,
+                mask_cacheable=mask_cacheable)
         return ids[0], dists[0]
 
     def batch_dense_search(self, field_name: str, queries: np.ndarray,
