@@ -160,3 +160,27 @@ class TestGraphSearch:
         _, res = vdb.query("t", "V", x[0].tolist(), ["ID"], 10, "ID < 20")
         assert len(res) == 10
         assert all(r["ID"] < 20 for r in res)
+
+
+def test_prefilter_mode_bypasses_graph(tmp_path):
+    """PreFilter=true forces the masked flat scan (reference config.hpp:25
+    + PreFilterBruteForceSearch, vec_search_executor.cpp:770-831)."""
+    from vectordb_tpu.config import global_config
+
+    n, dim = 2000, 16
+    x = make_data(n, dim, seed=9)
+    vdb.load_db("pfdb", str(tmp_path / "pfdb"), vector_scale=n)
+    vdb.use_db("pfdb")
+    vdb.create_table("t", [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+         "metricType": "EUCLIDEAN"}])
+    vdb.insert("t", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+    vdb.rebuild()
+    assert vdb.update_config({"PreFilter": True}) == 0
+    try:
+        _, res = vdb.query("t", "V", x[0].tolist(), ["ID"], 10, "ID < 100")
+        assert len(res) == 10 and all(r["ID"] < 100 for r in res)
+        assert res[0]["ID"] == 0
+    finally:
+        vdb.update_config({"PreFilter": False})

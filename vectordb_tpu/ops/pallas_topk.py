@@ -27,8 +27,18 @@ from ..schema import MetricType
 
 GROUP = 64       # columns folded into one survivor
 TILE_Q = 128     # query rows per tile
-TILE_C = 8192    # table columns (rows of the table) per tile;
-                 # TILE_C // GROUP = 128 keeps output blocks lane-aligned
+TILE_C = 8192    # table columns (rows of the table) per tile at d<=256;
+                 # TILE_C // 128 survivors per tile keep outputs lane-aligned
+
+
+def pick_tile_c(d: int) -> int:
+    """Table-tile rows bounded by VMEM: tab tile (bf16) + score tile (f32)
+    must fit the ~16 MB scoped budget with double buffering."""
+    if d <= 256:
+        return 8192
+    if d <= 512:
+        return 4096
+    return 2048
 
 
 def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref, mask_ref,
@@ -96,7 +106,7 @@ def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref, mask_ref,
 def partial_min_scan(queries, q_norms, q_base, table, norms,
                      metric: int, group: int = GROUP, n_valid: int = 0,
                      exclude_self: bool = False, tile_q: int = TILE_Q,
-                     tile_c: int = TILE_C, mask=None):
+                     tile_c: int = 0, mask=None):
     """[B, D] queries vs [N, D] table -> ([B, N/group] min-vals, ids).
 
     B % tile_q == 0 and N % tile_c == 0 required (callers pad).
@@ -106,6 +116,8 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
 
     b, d = queries.shape
     n = table.shape[0]
+    if tile_c <= 0:
+        tile_c = pick_tile_c(d)
     grid = (b // tile_q, n // tile_c)
     fold = tile_c // 128  # columns folded per survivor (the "group")
     gcols = n // fold
@@ -154,7 +166,9 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
 
 
 def supports(n_pad: int, dim_padded: int, b: int,
-             tile_q: int = TILE_Q, tile_c: int = TILE_C) -> bool:
+             tile_q: int = TILE_Q, tile_c: int = 0) -> bool:
+    if tile_c <= 0:
+        tile_c = pick_tile_c(dim_padded)
     return (n_pad % tile_c == 0 and b % tile_q == 0
             and dim_padded % 128 == 0)
 
