@@ -153,14 +153,17 @@ class Catalog:
     def get_database(self, db_name: str) -> Optional[DatabaseSchema]:
         return self.databases.get(db_name)
 
-    def save(self, db_name: str) -> Status:
+    def save(self, db_name: str, path: Optional[str] = None) -> Status:
+        """Write the catalog JSON (to `path` when dumping elsewhere)."""
         db = self.databases.get(db_name)
         if db is None:
             return Status(DB_UNEXPECTED_ERROR, "DB not found: " + db_name)
         if not self.is_leader:
             return Status.OK()  # followers never write (leader-only guard)
-        os.makedirs(db.path, exist_ok=True)
-        atomic_write_text(self.catalog_file(db), json.dumps(db.to_json()))
+        target_dir = path or db.path
+        os.makedirs(target_dir, exist_ok=True)
+        atomic_write_text(os.path.join(target_dir, "catalog"),
+                          json.dumps(db.to_json()))
         return Status.OK()
 
     def create_table(self, db_name: str, schema: TableSchema,

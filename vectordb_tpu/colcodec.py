@@ -115,11 +115,21 @@ def decode_columns(data: bytes) -> Tuple[Dict[str, Any], int]:
             idx = np.frombuffer(bufs[0], np.int64)
             val = np.frombuffer(bufs[1], np.float32)
             offs = np.frombuffer(bufs[2], np.int64)
+            # Presence bitmap distinguishes an empty vector from a
+            # never-written row so decode reproduces ingest state exactly.
+            present = (np.frombuffer(bufs[3], np.uint8).astype(bool)
+                       if len(bufs) > 3 else None)
             col = []
             for r in range(n_rows):
                 a, b = int(offs[r]), int(offs[r + 1])
-                col.append(SparseVector(idx[a:b].copy(), val[a:b].copy())
-                           if b > a else None)
+                if b > a:
+                    col.append(SparseVector(idx[a:b].copy(),
+                                            val[a:b].copy()))
+                elif present is not None and present[r]:
+                    col.append(SparseVector(np.zeros(0, np.int64),
+                                            np.zeros(0, np.float32)))
+                else:
+                    col.append(None)
             columns[name] = col
         elif kind == "strings":
             lens = np.frombuffer(bufs[0], np.int64)

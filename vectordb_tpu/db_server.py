@@ -59,9 +59,12 @@ class DBServer:
 
         def loop():
             while not self._stop.wait(global_config.rebuild_interval_s):
-                status = self.rebuild()
-                if not status.ok():
-                    logger.error("Rebuild failed: " + status.message)
+                try:
+                    status = self.rebuild()
+                    if not status.ok():
+                        logger.error("Rebuild failed: " + status.message)
+                except Exception as e:  # the thread must survive transients
+                    logger.error(f"Rebuild cycle crashed: {e}")
 
         self._rebuild_thread = threading.Thread(target=loop, daemon=True)
         self._rebuild_thread.start()
@@ -88,16 +91,23 @@ class DBServer:
     def load_db(self, db_name: str, db_path: str,
                 init_table_scale: int = 150000, wal_enabled: bool = True,
                 headers: Optional[Dict[str, str]] = None) -> Status:
+        from .errors import DB_ALREADY_EXIST
+
+        # Reserve the name under the lock so concurrent loads of the same
+        # db cannot both construct (and double-open WAL files).
         with self._lock:
             if db_name in self.databases:
-                from .errors import DB_ALREADY_EXIST
                 return Status(DB_ALREADY_EXIST,
                               "DB already loaded: " + db_name)
+            self.databases[db_name] = None  # reservation
         try:
             schema = self.catalog.load_database(db_name, db_path)
             db = Database(schema, self.is_leader, init_table_scale,
                           wal_enabled, self.embedding_service)
         except VectorDBError as e:
+            with self._lock:
+                if self.databases.get(db_name) is None:
+                    del self.databases[db_name]
             return e.status
         with self._lock:
             self.databases[db_name] = db
@@ -116,16 +126,22 @@ class DBServer:
         return self.unload_db(db_name)
 
     def dump_db(self, db_name: str, path: str) -> Status:
+        from .errors import DB_NOT_FOUND
+
         db = self.get_db(db_name)
         if db is None:
-            return Status(DB_UNEXPECTED_ERROR, "DB not found: " + db_name)
+            return Status(DB_NOT_FOUND, "DB not found: " + db_name)
         status = db.dump(path)
         if not status.ok():
             return status
-        return self.catalog.save(db_name)
+        # The catalog must land in the DUMP path (reference db_server.cpp
+        # SaveDBToFile(db_catalog_path + "/catalog")), or the dump can
+        # never be loaded.
+        return self.catalog.save(db_name, path)
 
     def get_db(self, db_name: str) -> Optional[Database]:
-        return self.databases.get(db_name)
+        db = self.databases.get(db_name)
+        return db if db is not None else None
 
     def get_statistics(self, db_name: str) -> Tuple[Status, Dict[str, Any]]:
         db = self.get_db(db_name)

@@ -460,12 +460,29 @@ class TableSegment:
                 ft = f.field_type
                 col = columns[name]
                 if ft in DENSE_VECTOR_TYPES:
-                    mat = col[keep]
+                    mat = np.asarray(col, dtype=np.float32)
+                    if mat.ndim != 2 or mat.shape[1] != f.vector_dimension:
+                        return Status(
+                            INVALID_RECORD,
+                            f"Field {name} expects [n, "
+                            f"{f.vector_dimension}] vectors, got "
+                            f"{mat.shape}.")
+                    mat = mat[keep]
+                    if f.metric_type == MetricType.COSINE:
+                        # Ingest-time normalization (reference
+                        # table_segment_mvp.cpp:564-587); idempotent, so
+                        # WAL replay of already-normalized batches is safe.
+                        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+                        mat = np.where(nrm > 1e-5,
+                                       mat / np.maximum(nrm, 1e-30), mat)
                     self.dense_host[name][start:stop] = mat
                     self.dense_norms[name][start:stop] = np.einsum(
                         "nd,nd->n", mat, mat).astype(np.float32)
                 elif ft in SPARSE_VECTOR_TYPES:
                     kept_vals = [v for v, k in zip(col, keep) if k]
+                    if f.metric_type == MetricType.COSINE:
+                        kept_vals = [v.normalized() if v is not None else v
+                                     for v in kept_vals]
                     self.sparse_cols[name][start:stop] = kept_vals
                 elif ft == FieldType.GEO_POINT:
                     lat, lon = col

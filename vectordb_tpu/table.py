@@ -589,7 +589,8 @@ class Table:
             if compiler is not None:
                 keep &= compiler.mask(row_ids=cand)
             cand = cand[keep]
-        ids = cand[skip: skip + limit] if limit else cand[skip:]
+        ids = cand[skip: skip + limit]  # limit=0 -> no rows (reference
+        # counter < skip + limit semantics, vec_search_executor.cpp:978)
 
         facets: List[Any] = []
         rows: List[Dict[str, Any]] = []
@@ -663,6 +664,16 @@ class Table:
             try:
                 from .index.graph import GraphIndex
                 g = GraphIndex.load(path, self.segment, field_name)
+                if g.num_rows > self.segment.record_number:
+                    # Graph is ahead of this replica's table (leader built
+                    # it from newer data): searching it would return ids
+                    # beyond record_number (reference guard,
+                    # table_mvp.cpp:163-167).
+                    logger.warning(
+                        f"Skipping graph for {field_name}: built from "
+                        f"{g.num_rows} rows but table has only "
+                        f"{self.segment.record_number}")
+                    return
                 with self.graph_lock:
                     self.graphs[field_name] = g
                     self._graph_built_rows[field_name] = g.num_rows

@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import struct
+import threading
 import time
 import zlib
 from typing import Callable, List, Optional, Tuple
@@ -43,6 +44,10 @@ class WriteAheadLog:
         self._file = None
         self._bin_file = None
         self._last_rotation = time.time()
+        # One writer at a time: appends are header+payload pairs and
+        # rotation swaps file handles (concurrent HTTP inserts otherwise
+        # interleave frames and corrupt the log).
+        self._write_lock = threading.Lock()
         # Native IO acceleration (C++ framing/fsync) when available.
         from .native import get_native
         self._native = get_native()
@@ -107,11 +112,12 @@ class WriteAheadLog:
         """Append one entry; returns its global id (WriteEntry, wal:71-91)."""
         if not self.enabled or not self.is_leader:
             return self.counter.get()
-        if time.time() - self._last_rotation > ROTATION_INTERVAL_S:
-            self._rotate()
-        next_id = self.counter.increment_and_get()
-        self._file.write(f"{next_id} {entry_type} {entry}\n")
-        self._file.flush()
+        with self._write_lock:
+            if time.time() - self._last_rotation > ROTATION_INTERVAL_S:
+                self._rotate()
+            next_id = self.counter.increment_and_get()
+            self._file.write(f"{next_id} {entry_type} {entry}\n")
+            self._file.flush()
         return next_id
 
     def write_binary_entry(self, entry_type: int, payload: bytes) -> int:
@@ -119,18 +125,20 @@ class WriteAheadLog:
         native C++ appender handles framing+flush when built."""
         if not self.enabled or not self.is_leader:
             return self.counter.get()
-        if time.time() - self._last_rotation > ROTATION_INTERVAL_S:
-            self._rotate()
-        next_id = self.counter.increment_and_get()
-        f = self._binary_file()
-        if self._native is not None:
-            self._native.wal_append(f.fileno(), next_id, entry_type, payload)
-        else:
-            crc = zlib.crc32(payload) & 0xFFFFFFFF
-            f.write(struct.pack("<QBIQ", next_id, entry_type, crc,
-                                len(payload)))
-            f.write(payload)
-            f.flush()
+        with self._write_lock:
+            if time.time() - self._last_rotation > ROTATION_INTERVAL_S:
+                self._rotate()
+            next_id = self.counter.increment_and_get()
+            f = self._binary_file()
+            if self._native is not None:
+                f.flush()
+                self._native.wal_append(f.fileno(), next_id, entry_type,
+                                        payload)
+            else:
+                crc = zlib.crc32(payload) & 0xFFFFFFFF
+                f.write(struct.pack("<QBIQ", next_id, entry_type, crc,
+                                    len(payload)) + payload)
+                f.flush()
         return next_id
 
     def _sorted_log_files(self, ext: str = ".log") -> List[str]:
@@ -227,7 +235,8 @@ class WriteAheadLog:
 
     def clean_up_old_files(self) -> None:
         now = time.time()
-        for path in self._sorted_log_files():
+        for path in (self._sorted_log_files(".log")
+                     + self._sorted_log_files(".blog")):
             stem = os.path.splitext(os.path.basename(path))[0]
             try:
                 ts = int(stem)
