@@ -71,14 +71,15 @@ def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref, mask_ref,
     else:
         scores = -scores
 
-    col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, (tq, tc), 1)
-    invalid = col_ids >= n_valid
-    invalid = invalid | (mask_ref[:].reshape(1, tc) == 0)
+    # Keep id planes [1, TC] (broadcast in the where) — a full [TQ, TC]
+    # int32 iota plane alone is 4 MB of scoped VMEM at TC=8192.
+    col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+    invalid_cols = (col_ids >= n_valid) | (mask_ref[:].reshape(1, tc) == 0)
+    scores = jnp.where(invalid_cols, jnp.inf, scores)
     if exclude_self:
         row_ids = base_ref[0, 0] + jax.lax.broadcasted_iota(
-            jnp.int32, (tq, tc), 0)
-        invalid = invalid | (col_ids == row_ids)
-    scores = jnp.where(invalid, jnp.inf, scores)
+            jnp.int32, (tq, 1), 0)
+        scores = jnp.where(col_ids == row_ids, jnp.inf, scores)
 
     # Strided group fold: column j joins group (j mod 128); the [TQ, TC]
     # tile reduces to [TQ, 128] by an unrolled elementwise min over
@@ -155,6 +156,8 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
             jax.ShapeDtypeStruct((b, gcols), jnp.float32),
             jax.ShapeDtypeStruct((b, gcols), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
             bytes_accessed=(b * d * 2 + n * d * 2 * (b // tile_q)
