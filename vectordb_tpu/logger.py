@@ -1,4 +1,8 @@
-"""Timestamped stdout logger (reference engine/logger/logger.cpp:16-53)."""
+"""Timestamped logger (reference engine/logger/logger.cpp:16-53).
+
+Writes to stderr so programmatic stdout (bench JSON, piped module output)
+stays clean; set VECTORDB_LOG_STREAM=stdout for the reference's behavior.
+"""
 from __future__ import annotations
 
 import datetime
@@ -19,9 +23,11 @@ class Logger:
         if _LEVELS[level] < self.level:
             return
         ts = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+        stream = (sys.stdout if os.environ.get("VECTORDB_LOG_STREAM")
+                  == "stdout" else sys.stderr)
         with _lock:
-            sys.stdout.write(f"[{ts}] [{level}] {msg}\n")
-            sys.stdout.flush()
+            stream.write(f"[{ts}] [{level}] {msg}\n")
+            stream.flush()
 
     def debug(self, msg: str) -> None:
         self._log("DEBUG", msg)
