@@ -40,3 +40,16 @@ def test_pole_longitude_widening():
     idx.insert_point(80.0, 12.0, 2)  # ~39 km away at this latitude
     got = idx.search_within_radius(80.0, 10.0, 50)
     assert sorted(got) == [1, 2]
+
+
+def test_antimeridian_wrap():
+    # A 44 km neighbor across the date line must be found (ADVICE r1).
+    idx = GeospatialIndex(cell_deg=1.0)
+    idx.insert_point(0.0, -179.8, 1)
+    idx.insert_point(0.0, 179.9, 2)
+    got = idx.search_within_radius(0.0, 179.8, 60)
+    assert sorted(got) == [1, 2]
+    got = idx.search_within_radius(0.0, -179.9, 60)
+    assert sorted(got) == [1, 2]
+    # And a tight radius still excludes the far side.
+    assert idx.search_within_radius(0.0, 179.8, 5) == []

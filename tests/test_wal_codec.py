@@ -152,3 +152,39 @@ class TestBulkInsert:
         code, result = vdb.insert_columns(
             "t", {"ID": np.arange(10), "V": x[:10]})
         assert result["skipped"] == 10
+
+
+def test_empty_sparse_vector_roundtrip():
+    """An explicitly-ingested empty sparse vector must decode as empty,
+    not None (replica scoring parity — ADVICE r1)."""
+    import numpy as np
+    from vectordb_tpu.colcodec import decode_columns, encode_columns
+    from vectordb_tpu.ops.sparse import SparseVector
+
+    col = [SparseVector(np.array([3], np.int64), np.array([1.0], np.float32)),
+           SparseVector(np.zeros(0, np.int64), np.zeros(0, np.float32)),
+           None]
+    blob = encode_columns({"s": col}, 3, kinds={"s": "sparse"})
+    out, n = decode_columns(blob)
+    assert n == 3
+    got = out["s"]
+    assert got[0] is not None and list(got[0].indices) == [3]
+    assert got[1] is not None and len(got[1].indices) == 0
+    assert got[2] is None
+
+
+def test_torn_text_wal_line_skipped(tmp_path):
+    """A corrupted text WAL line is skipped; intact entries still replay."""
+    from vectordb_tpu.wal import WriteAheadLog
+
+    wal = WriteAheadLog(str(tmp_path), 0, is_leader=True)
+    wal.write_entry(1, '{"a": 1}')
+    wal.write_entry(1, '{"a": 2}')
+    # Corrupt the middle of the log file with a torn line.
+    logs = wal._sorted_log_files(".log")
+    with open(logs[0], "a", encoding="utf-8") as f:
+        f.write("garbage notanint {\n")
+    wal.write_entry(1, '{"a": 3}')
+    seen = []
+    wal.replay(lambda gid, et, content: seen.append(content), 0)
+    assert [c for c in seen] == ['{"a": 1}', '{"a": 2}', '{"a": 3}']

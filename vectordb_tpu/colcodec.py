@@ -71,10 +71,16 @@ def encode_columns(columns: Dict[str, Any], n_rows: int,
                    else np.zeros(0, np.int64))
             val = (np.concatenate(val_cat) if val_cat
                    else np.zeros(0, np.float32))
+            # 4th buffer: presence bitmap, so an explicitly-ingested empty
+            # sparse vector survives a decode round trip as empty-not-None
+            # (replica/restart scoring parity with the live leader).
+            present = np.packbits(
+                np.asarray([v is not None for v in col], np.uint8))
             add(name, "sparse", {},
                 idx.astype(np.int64).tobytes(),
                 val.astype(np.float32).tobytes(),
-                np.asarray(offs, np.int64).tobytes())
+                np.asarray(offs, np.int64).tobytes(),
+                present.tobytes())
         else:  # list of strings / None
             encoded = [(s.encode("utf-8") if s is not None else None)
                        for s in col]
@@ -117,7 +123,8 @@ def decode_columns(data: bytes) -> Tuple[Dict[str, Any], int]:
             offs = np.frombuffer(bufs[2], np.int64)
             # Presence bitmap distinguishes an empty vector from a
             # never-written row so decode reproduces ingest state exactly.
-            present = (np.frombuffer(bufs[3], np.uint8).astype(bool)
+            present = (np.unpackbits(np.frombuffer(bufs[3], np.uint8),
+                                     count=n_rows).astype(bool)
                        if len(bufs) > 3 else None)
             col = []
             for r in range(n_rows):

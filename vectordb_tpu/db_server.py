@@ -104,11 +104,16 @@ class DBServer:
             schema = self.catalog.load_database(db_name, db_path)
             db = Database(schema, self.is_leader, init_table_scale,
                           wal_enabled, self.embedding_service)
-        except VectorDBError as e:
+        except Exception as e:
+            # Any failure (not just VectorDBError — e.g. a corrupted
+            # on-disk artifact raising ValueError) must release the name
+            # reservation, or the DB can never be loaded again.
             with self._lock:
                 if self.databases.get(db_name) is None:
                     del self.databases[db_name]
-            return e.status
+            if isinstance(e, VectorDBError):
+                return e.status
+            raise
         with self._lock:
             self.databases[db_name] = db
         return Status.OK()

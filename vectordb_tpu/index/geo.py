@@ -64,12 +64,28 @@ class GeospatialIndex:
         dlon = math.degrees(radius_km / (EARTH_RADIUS_KM * cos_lat))
         lat0, lat1 = lat - dlat, lat + dlat
         lon0, lon1 = lon - dlon, lon + dlon
-        c0 = self._cell(lat0, lon0)
-        c1 = self._cell(lat1, lon1)
+        ci0 = int(math.floor(lat0 / self.cell_deg))
+        ci1 = int(math.floor(lat1 / self.cell_deg))
+        # Longitude cell range, wrapping across the antimeridian: a box
+        # crossing lon=±180 becomes the union of two lon-cell intervals
+        # (the reference's R-tree has no such hole because it haversine-
+        # checks every point; the grid must produce the wrapped candidates).
+        cj_set: Set[int] = set()
+        if lon1 - lon0 >= 360.0:
+            intervals = [(-180.0, 180.0)]
+        elif lon0 < -180.0:
+            intervals = [(lon0 + 360.0, 180.0), (-180.0, lon1)]
+        elif lon1 > 180.0:
+            intervals = [(lon0, 180.0), (-180.0, lon1 - 360.0)]
+        else:
+            intervals = [(lon0, lon1)]
+        for a, b in intervals:
+            cj_set.update(range(int(math.floor(a / self.cell_deg)),
+                                int(math.floor(b / self.cell_deg)) + 1))
         cand: List[int] = []
         with self._lock:
-            for ci in range(c0[0], c1[0] + 1):
-                for cj in range(c0[1], c1[1] + 1):
+            for ci in range(ci0, ci1 + 1):
+                for cj in cj_set:
                     cand.extend(self._cells.get((ci, cj), ()))
             if not cand:
                 return []

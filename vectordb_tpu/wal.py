@@ -159,9 +159,16 @@ class WriteAheadLog:
                 second = line.find(" ", first + 1)
                 if first < 0 or second < 0:
                     continue
-                out.append((int(line[:first]),
-                            int(line[first + 1:second]),
-                            line[second + 1:]))
+                try:
+                    gid = int(line[:first])
+                    etype = int(line[first + 1:second])
+                except ValueError:
+                    # Torn/corrupted line (e.g. partial write before a
+                    # crash): skip it, matching the reference's lenient
+                    # atoll parsing (write_ahead_log.hpp:187-197).
+                    logger.error("Skipping unparseable WAL line in " + path)
+                    continue
+                out.append((gid, etype, line[second + 1:]))
         return out
 
     def _read_binary_entries(self, path: str):
