@@ -1,0 +1,159 @@
+"""Engine-level multi-chip sharding tests (virtual 8-CPU mesh).
+
+Drives the FULL engine (DBServer -> Table -> sharded data plane) with
+config ShardCount=8: flat scans, distributed graph build, tail merge for
+rows inserted after the build, deletes, filters, rebuild-while-query, and
+cross-process persistence of sharded graphs. Recall is checked against the
+exact numpy oracle.
+"""
+import threading
+
+import numpy as np
+import pytest
+
+import vectordb_tpu as vdb
+from vectordb_tpu.config import global_config
+
+
+@pytest.fixture(autouse=True)
+def _sharded_mode():
+    global_config.shard_count = 8
+    global_config.minimal_graph_size = 100
+    yield
+    global_config.shard_count = 0
+    global_config.minimal_graph_size = 100
+    from vectordb_tpu.parallel import engine
+    engine._reset_for_tests()
+
+
+def _mk_table(tmp_path, dim=32, name="t"):
+    vdb.load_db("sdb", str(tmp_path / "sdb"))
+    vdb.use_db("sdb")
+    vdb.create_table(name, [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+         "metricType": "EUCLIDEAN"}])
+
+
+def _insert(name, x, start=0):
+    vdb.insert_columns(name, {"ID": np.arange(start, start + len(x)),
+                              "V": x}, len(x))
+
+
+def _oracle(x, q, k):
+    d = ((x - q) ** 2).sum(1)
+    return np.argsort(d, kind="stable")[:k]
+
+
+def test_sharded_flat_exact(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    # Sanity: the table really runs in sharded mode.
+    table = vdb._db.databases["sdb"].tables["t"]
+    assert table.mesh is not None and "V" in table.sharded_fields
+    for qi in [0, 17, 999, 2999]:
+        code, res = vdb.query("t", "V", x[qi].tolist(), ["ID"], 10, "", True)
+        got = [r["ID"] for r in res]
+        assert got == _oracle(x, x[qi], 10).tolist(), qi
+
+
+def test_sharded_graph_recall_and_tail(tmp_path):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    assert vdb.rebuild() == 0
+    table = vdb._db.databases["sdb"].tables["t"]
+    assert table.sharded_fields["V"].graph is not None
+
+    queries = x[rng.integers(0, 4000, 64)] + 0.01 * rng.normal(
+        size=(64, 32)).astype(np.float32)
+    hits = 0
+    for q in queries:
+        code, res = vdb.query("t", "V", q.tolist(), ["ID"], 10, "", True)
+        got = {r["ID"] for r in res}
+        hits += len(got & set(_oracle(x, q, 10).tolist()))
+    recall = hits / (64 * 10)
+    assert recall >= 0.95, recall
+
+    # Rows inserted AFTER the build must be found via the sharded tail.
+    x2 = rng.normal(size=(500, 32)).astype(np.float32) + 5.0
+    _insert("t", x2, start=4000)
+    for j in [0, 123, 499]:
+        code, res = vdb.query("t", "V", x2[j].tolist(), ["ID"], 5, "", True)
+        assert res[0]["ID"] == 4000 + j
+
+
+def test_sharded_delete_and_filter(tmp_path):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    vdb.rebuild()
+    q = x[50]
+    code, res = vdb.query("t", "V", q.tolist(), ["ID"], 5, "", True)
+    assert res[0]["ID"] == 50
+    vdb.delete_by_pk("t", [50])
+    code, res = vdb.query("t", "V", q.tolist(), ["ID"], 5, "", True)
+    assert 50 not in [r["ID"] for r in res]
+    # Selective filter: graph post-filter + sharded flat top-up still
+    # returns full k.
+    code, res = vdb.query("t", "V", q.tolist(), ["ID"], 10, "ID < 100")
+    ids = [r["ID"] for r in res]
+    assert len(ids) == 10 and all(i < 100 and i != 50 for i in ids)
+    oracle = [i for i in _oracle(x, q, 2000).tolist()
+              if i < 100 and i != 50][:10]
+    assert ids == oracle
+
+
+def test_sharded_concurrent_insert_query(tmp_path):
+    """BASELINE config-5 shape: concurrent insert + query workload over a
+    sharded table while a rebuild happens mid-stream."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(3000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x[:1500])
+    vdb.rebuild()
+
+    errors = []
+
+    def writer():
+        try:
+            for s in range(1500, 3000, 250):
+                _insert("t", x[s:s + 250], start=s)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    for _ in range(20):
+        qi = int(rng.integers(0, 1500))
+        code, res = vdb.query("t", "V", x[qi].tolist(), ["ID"], 5, "", True)
+        assert res[0]["ID"] == qi
+    th.join()
+    assert not errors
+    vdb.rebuild()
+    for qi in [1500, 2200, 2999]:
+        code, res = vdb.query("t", "V", x[qi].tolist(), ["ID"], 5, "", True)
+        assert res[0]["ID"] == qi
+
+
+def test_sharded_graph_persistence(tmp_path):
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1500, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    vdb.rebuild()
+    vdb.dump_db("sdb", str(tmp_path / "sdb"))
+    vdb.unload_db("sdb")
+
+    vdb.load_db("sdb", str(tmp_path / "sdb"))
+    vdb.use_db("sdb")
+    table = vdb._db.databases["sdb"].tables["t"]
+    assert table.sharded_fields["V"].graph is not None
+    assert table.sharded_fields["V"].graph.num_rows == 1500
+    for qi in [3, 700, 1499]:
+        code, res = vdb.query("t", "V", x[qi].tolist(), ["ID"], 5, "", True)
+        assert res[0]["ID"] == qi

@@ -51,6 +51,10 @@ class Config:
         # Write WAL insert entries as the reference's JSON-text lines
         # instead of binary column batches (slower; for interop).
         self.wal_text_format = False
+        # Multi-chip data plane: shard dense columns + graphs row-wise over
+        # this many devices (0 = off / single chip). Requires >= 2 devices;
+        # tables created after the change pick it up.
+        self.shard_count = 0
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
         """Apply a JSON config update.
@@ -147,6 +151,11 @@ class Config:
                 if not (0 <= v <= 16000):
                     return False, False
                 self.beam_term_width = v
+            if "ShardCount" in cfg:
+                v = int(cfg["ShardCount"])
+                if not (0 <= v <= 4096):
+                    return False, False
+                self.shard_count = v
         return True, swap
 
     def to_dict(self) -> Dict[str, Any]:
@@ -169,6 +178,7 @@ class Config:
             "BeamExpand": self.beam_expand,
             "WalTextFormat": self.wal_text_format,
             "BeamTermWidth": self.beam_term_width,
+            "ShardCount": self.shard_count,
         }
 
 

@@ -199,6 +199,70 @@ def _prune_batch_kernel(pool_vecs, pool_d, pool_valid, metric: int,
     return kept.T  # [B, P]
 
 
+def finalize_adjacency(fwd: np.ndarray, host: np.ndarray,
+                       norms_h: np.ndarray, n: int, degree: int,
+                       r_total: int, rep_ids: np.ndarray
+                       ) -> Tuple[np.ndarray, int]:
+    """Host-side build tail shared by single-chip and sharded builds:
+    reverse-edge insertion into the padded slack (InterInsert,
+    nsg.cpp:583-653) + connectivity repair from the representative cover
+    (CheckConnectivity, nsg.cpp:687-775). Returns (adjacency [n, r_total],
+    number of bridged components)."""
+    adjacency = np.full((n, r_total), -1, dtype=np.int32)
+    adjacency[:, :degree] = fwd
+    from ..native import get_native
+
+    native = get_native()
+    if native is not None and hasattr(native, "reverse_edges"):
+        fill = native.reverse_edges(fwd, adjacency, degree, r_total)
+    else:
+        fill = (fwd >= 0).sum(axis=1).astype(np.int64)
+        src = np.repeat(np.arange(n, dtype=np.int32), degree)
+        dst = fwd.reshape(-1)
+        ok = dst >= 0
+        src, dst = src[ok], dst[ok]
+        order = np.argsort(dst, kind="stable")
+        dsts, srcs = dst[order], src[order]
+        uniq, first_idx, cnt = np.unique(dsts, return_index=True,
+                                         return_counts=True)
+        rank = np.arange(len(dsts)) - np.repeat(first_idx, cnt)
+        slots = fill[dsts] + rank
+        in_range = slots < r_total
+        adjacency[dsts[in_range], slots[in_range]] = srcs[in_range]
+        fill = (adjacency >= 0).sum(axis=1).astype(np.int64)
+
+    def absorb(start_ids, reached):
+        frontier = np.asarray(start_ids, dtype=np.int64)
+        reached[frontier] = True
+        while len(frontier):
+            nxt = adjacency[frontier].reshape(-1)
+            nxt = nxt[nxt >= 0]
+            nxt = np.unique(nxt)
+            nxt = nxt[~reached[nxt]]
+            reached[nxt] = True
+            frontier = nxt
+
+    def add_edge(u, v):
+        f = fill[u]
+        slot = f if f < r_total else r_total - 1
+        adjacency[u, slot] = v
+        fill[u] = min(f + 1, r_total)
+
+    reached = np.zeros(n, dtype=bool)
+    absorb(rep_ids, reached)
+    n_components = 0
+    while not reached.all():
+        u0 = int(np.argmin(reached))  # first unreached node
+        d = norms_h - 2.0 * (host @ host[u0])
+        d[~reached] = np.inf
+        v = int(np.argmin(d))
+        add_edge(v, u0)
+        add_edge(u0, v)
+        absorb([u0], reached)
+        n_components += 1
+    return adjacency, n_components
+
+
 class GraphIndex:
     """Immutable fixed-degree search graph over rows [0, num_rows) of a
     dense vector column (the reference's ANNGraphSegment role)."""
@@ -331,69 +395,12 @@ class GraphIndex:
             dtype=np.int32)
         _lap("edges")
 
-        # 4. Reverse edges into the padded slack (rank-capped): one linear
-        #    pass in the native C++ runtime, numpy fallback otherwise.
-        adjacency = np.full((n, r_total), -1, dtype=np.int32)
-        adjacency[:, :degree] = fwd
-        from ..native import get_native
-
-        native = get_native()
-        if native is not None and hasattr(native, "reverse_edges"):
-            fill = native.reverse_edges(fwd, adjacency, degree, r_total)
-        else:
-            fill = (fwd >= 0).sum(axis=1).astype(np.int64)
-            src = np.repeat(np.arange(n, dtype=np.int32), degree)
-            dst = fwd.reshape(-1)
-            ok = dst >= 0
-            src, dst = src[ok], dst[ok]
-            order = np.argsort(dst, kind="stable")
-            dsts, srcs = dst[order], src[order]
-            uniq, first_idx, cnt = np.unique(dsts, return_index=True,
-                                             return_counts=True)
-            rank = np.arange(len(dsts)) - np.repeat(first_idx, cnt)
-            slots = fill[dsts] + rank
-            in_range = slots < r_total
-            adjacency[dsts[in_range], slots[in_range]] = srcs[in_range]
-            fill = (adjacency >= 0).sum(axis=1).astype(np.int64)
-
-        # 5. Connectivity repair (role of CheckConnectivity,
-        #    nsg.cpp:687-775): BFS from nav; while components remain
-        #    unreached, bridge each one to its nearest already-reached node
-        #    (host numpy scan over the mirror — components are rare) with a
-        #    bidirectional edge, then absorb the component.
-        def absorb(start_ids, reached):
-            frontier = np.asarray(start_ids, dtype=np.int64)
-            reached[frontier] = True
-            while len(frontier):
-                nxt = adjacency[frontier].reshape(-1)
-                nxt = nxt[nxt >= 0]
-                nxt = np.unique(nxt)
-                nxt = nxt[~reached[nxt]]
-                reached[nxt] = True
-                frontier = nxt
-
-        def add_edge(u, v):
-            f = fill[u]
-            slot = f if f < r_total else r_total - 1
-            adjacency[u, slot] = v
-            fill[u] = min(f + 1, r_total)
-
+        # 4+5. Reverse edges + connectivity repair (shared with the
+        #      sharded build — see finalize_adjacency above).
         _lap("repair")
-        # Multi-source: every representative is a potential search seed, so
-        # reachability from the rep cover is what matters.
-        reached = np.zeros(n, dtype=bool)
-        absorb(_make_rep_ids(n, nav), reached)
-        n_components = 0
         norms_h = segment.dense_norms[field_name][:n]
-        while not reached.all():
-            u0 = int(np.argmin(reached))  # first unreached node
-            d = norms_h - 2.0 * (host @ host[u0])
-            d[~reached] = np.inf
-            v = int(np.argmin(d))
-            add_edge(v, u0)
-            add_edge(u0, v)
-            absorb([u0], reached)
-            n_components += 1
+        adjacency, n_components = finalize_adjacency(
+            fwd, host, norms_h, n, degree, r_total, _make_rep_ids(n, nav))
         if n_components:
             logger.info(f"Graph repair: bridged {n_components} disconnected "
                         "components")

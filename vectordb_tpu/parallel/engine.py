@@ -1,0 +1,574 @@
+"""Engine-level multi-chip sharding: the dense-field data plane on a mesh.
+
+The reference's only scale-out story is leader/follower over shared storage
+(/root/reference/engine/db/table_mvp.cpp:103-170). The TPU-native story is a
+row-sharded data plane: each chip holds an interleaved slice of a dense
+vector column plus an ANN graph over its own rows; queries run the SAME
+single-chip kernels per shard under `shard_map` and merge candidates with
+one `all_gather` over ICI.
+
+Layout: global row r lives on shard `r % S` at local slot `r // S`
+(round-robin interleave), so concurrent inserts keep every shard balanced
+and a prefix [0, n) of global rows is always an even spread. Device arrays
+are [S, cap_s, D] with PartitionSpec("shard", None, None).
+
+Components:
+  - ShardedVectorStore: sharded mirror of one dense column with jitted
+    append (insert-while-serving keeps working: appends touch only the
+    written slots).
+  - ShardedGraphIndex: per-shard fixed-degree graphs, built by the same
+    KNN -> pool-search -> occlusion-prune pipeline as index/graph.py, run
+    per shard inside shard_map (device phases) + per shard on host
+    (reverse edges / connectivity repair).
+  - sharded_graph_query / sharded_flat_query: replicated query batch in,
+    globally re-ranked top-k out; one collective per batch.
+"""
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..logger import logger
+from ..schema import MetricType
+from .sharded import SHARD_AXIS, make_mesh
+
+_mesh_lock = threading.Lock()
+_default_mesh: Optional[Mesh] = None
+
+
+def get_engine_mesh(n_shards: int = 0) -> Optional[Mesh]:
+    """Process-wide mesh for the sharded data plane. n_shards=0 -> all
+    devices; returns None when the process has a single device and
+    n_shards <= 1 (sharding would be pure overhead)."""
+    global _default_mesh
+    with _mesh_lock:
+        if _default_mesh is not None:
+            return _default_mesh
+        devices = jax.devices()
+        if n_shards <= 0:
+            n_shards = len(devices)
+        if n_shards <= 1:
+            return None
+        _default_mesh = make_mesh(devices[:n_shards])
+        return _default_mesh
+
+
+def _reset_for_tests() -> None:
+    global _default_mesh
+    with _mesh_lock:
+        _default_mesh = None
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interleave(host: np.ndarray, n_shards: int, cap_s: int,
+                dtype=np.float32) -> np.ndarray:
+    """[n, ...] host rows -> [S, cap_s, ...] with row r at [r % S, r // S]."""
+    n = host.shape[0]
+    out_shape = (cap_s * n_shards,) + host.shape[1:]
+    buf = np.zeros(out_shape, dtype=dtype)
+    buf[:n] = host
+    return np.ascontiguousarray(
+        buf.reshape((cap_s, n_shards) + host.shape[1:]).swapaxes(0, 1))
+
+
+def shard_mask(valid: np.ndarray, n_shards: int, cap_s: int) -> np.ndarray:
+    """Host validity mask [n] -> per-shard slot mask [S, cap_s]."""
+    return _interleave(valid, n_shards, cap_s, dtype=bool)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0, 1))
+def _sharded_append(buf, norms, rows, new_norms, starts, *, mesh):
+    """Append per-shard packed rows at per-shard start slots."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS)),
+        out_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)))
+    def run(b, nr, r, nn, st):
+        s0 = st[0]
+        b = jax.lax.dynamic_update_slice(b, r.astype(b.dtype), (0, s0, 0))
+        nr = jax.lax.dynamic_update_slice(nr, nn, (0, s0))
+        return b, nr
+
+    return run(buf, norms, rows, new_norms, starts)
+
+
+class ShardedVectorStore:
+    """Row-interleaved sharded mirror of one dense vector column."""
+
+    def __init__(self, mesh: Mesh, dim: int, dtype: str = "bfloat16"):
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size)
+        self.dim = dim
+        self.dim_padded = _round_up(dim, 128)
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.cap_s = 0       # per-shard slot capacity
+        self.length = 0      # global rows synced so far
+        self.buf = None      # [S, cap_s, dim_padded]
+        self.norms = None    # [S, cap_s] f32
+
+    @property
+    def capacity(self) -> int:
+        return self.cap_s * self.n_shards
+
+    def _put(self, arr: np.ndarray, ndim_tail: int = None):
+        """device_put sharded on the leading axis; spec rank == arr rank."""
+        tail = arr.ndim - 1 if ndim_tail is None else ndim_tail
+        spec = P(SHARD_AXIS, *([None] * tail))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    def _grow(self, needed: int, host: np.ndarray, norms_host: np.ndarray):
+        s = self.n_shards
+        min_cap = max(4096 // s, 256)
+        cap_s = max(min_cap, self.cap_s or min_cap)
+        # Keep s spare slots: append blocks are padded to the max per-shard
+        # count (cnt_i + 1 worst case), and dynamic_update_slice CLAMPS
+        # out-of-range offsets — without slack a clamped write would shift
+        # down and overwrite live rows.
+        while cap_s * s < needed + s:
+            cap_s *= 2
+        padded = np.zeros((needed, self.dim_padded), dtype=np.float32)
+        padded[:, : self.dim] = host[:needed]
+        self.buf = self._put(_interleave(padded, s, cap_s)).astype(self.dtype)
+        self.norms = self._put(
+            _interleave(norms_host[:needed].astype(np.float32), s, cap_s))
+        self.cap_s = cap_s
+        self.length = needed
+
+    def sync(self, host: np.ndarray, norms_host: np.ndarray, n_rows: int):
+        """Bring the sharded buffer up to date with host rows [0, n_rows)."""
+        if self.buf is None or n_rows + self.n_shards > self.capacity:
+            self._grow(n_rows, host, norms_host)
+            return
+        if n_rows <= self.length:
+            return
+        s, lo, hi = self.n_shards, self.length, n_rows
+        # Per-shard local slot ranges for global rows [lo, hi).
+        starts = np.array([-(-(lo - i) // s) for i in range(s)], np.int32)
+        stops = np.array([-(-(hi - i) // s) for i in range(s)], np.int32)
+        m = int((stops - starts).max())
+        rows = np.zeros((s, m, self.dim_padded), dtype=np.float32)
+        nrm = np.zeros((s, m), dtype=np.float32)
+        for i in range(s):
+            cnt = int(stops[i] - starts[i])
+            if cnt:
+                g = np.arange(cnt) * s + (starts[i] * s + i)
+                rows[i, :cnt, : self.dim] = host[g]
+                nrm[i, :cnt] = norms_host[g]
+        # Padding rows land at slots >= this shard's stop — beyond any row
+        # that exists yet, and overwritten by the next sync. Masks are built
+        # from n_rows so they never score.
+        self.buf, self.norms = _sharded_append(
+            self.buf, self.norms, self._put(rows).astype(self.dtype),
+            self._put(nrm), self._put(starts), mesh=self.mesh)
+        self.length = hi
+
+    def invalidate(self):
+        self.buf = None
+        self.norms = None
+        self.cap_s = 0
+        self.length = 0
+
+
+# ---------------------------------------------------------------------------
+# Per-shard device build kernels (lax.scan'd so each compiles once).
+# ---------------------------------------------------------------------------
+
+
+def _local_scores(q, tab, q_norms, t_norms, metric: int):
+    ip = jax.lax.dot_general(q, tab,
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if metric == int(MetricType.EUCLIDEAN):
+        return q_norms[:, None] - 2.0 * ip + t_norms[None, :]
+    if metric == int(MetricType.COSINE):
+        return 1.0 - ip
+    return -ip
+
+
+def _local_knn(tab, nrm, local_n, k: int, metric: int, qb: int, chunk: int):
+    """Exact KNN over one shard's local rows: [C, D] -> ids/d [C, k]
+    (local slot ids). Nested lax.scans keep the program small."""
+    c_rows, d = tab.shape
+    n_q = c_rows // qb
+    n_c = c_rows // chunk
+
+    def q_step(_, qi):
+        q0 = qi * qb
+        q = jax.lax.dynamic_slice(tab, (q0, 0), (qb, d))
+        qn = jax.lax.dynamic_slice(nrm, (q0,), (qb,))
+        row_ids = q0 + jnp.arange(qb, dtype=jnp.int32)
+
+        def c_step(carry, ci):
+            best_d, best_i = carry
+            b0 = ci * chunk
+            blk = jax.lax.dynamic_slice(tab, (b0, 0), (chunk, d))
+            bn = jax.lax.dynamic_slice(nrm, (b0,), (chunk,))
+            sc = _local_scores(q, blk, qn, bn, metric)
+            ids = b0 + jax.lax.broadcasted_iota(jnp.int32, (qb, chunk), 1)
+            invalid = (ids >= local_n) | (ids == row_ids[:, None])
+            sc = jnp.where(invalid, jnp.inf, sc)
+            cat_d = jnp.concatenate([best_d, sc], axis=1)
+            cat_i = jnp.concatenate([best_i, ids], axis=1)
+            neg, sel = jax.lax.top_k(-cat_d, k)
+            return (-neg, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+        init = (jnp.full((qb, k), jnp.inf, jnp.float32),
+                jnp.full((qb, k), -1, jnp.int32))
+        (bd, bi), _ = jax.lax.scan(c_step, init,
+                                   jnp.arange(n_c, dtype=jnp.int32))
+        return None, (bd, bi)
+
+    _, (d_all, i_all) = jax.lax.scan(q_step, None,
+                                     jnp.arange(n_q, dtype=jnp.int32))
+    return d_all.reshape(c_rows, k), i_all.reshape(c_rows, k)
+
+
+def _shard_build_fwd(tab, nrm, local_n, metric: int, knn_k: int,
+                     degree: int, alpha: float, pool_size: int,
+                     search_l: int, search_iters: int, batch: int,
+                     reps, qb: int, chunk: int):
+    """Full device build for one shard: exact local KNN, then pool-search +
+    occlusion-prune per node batch. Returns forward edges [C, degree]
+    (local slot ids, -1 padded)."""
+    from ..index.graph import _pool_kernel, _prune_batch_kernel, _extract_fwd
+    from ..ops.beam import beam_search_kernel
+
+    c_rows, d = tab.shape
+    knn_d, knn_ids = _local_knn(tab, nrm, local_n, knn_k, metric, qb, chunk)
+    boot_deg = max(degree // 2, 16)
+    boot_adj = jnp.where(knn_ids[:, :boot_deg] >= 0,
+                         knn_ids[:, :boot_deg], -1).astype(jnp.int32)
+    n_b = c_rows // batch
+
+    def step(_, bi):
+        start = bi * batch
+        node_vecs = jax.lax.dynamic_slice(
+            tab, (start, 0), (batch, d)).astype(jnp.float32)
+        node_ids = start + jnp.arange(batch, dtype=jnp.int32)
+        _, s_ids, s_vis = beam_search_kernel(
+            node_vecs, tab, nrm, boot_adj, reps, metric, search_l, 4,
+            search_iters, term_width=16)
+        knn_b = jax.lax.dynamic_slice(
+            knn_ids, (start, 0), (batch, knn_ids.shape[1]))
+        pool_ids, pool_d = _pool_kernel(node_ids, node_vecs, s_ids, s_vis,
+                                        knn_b, tab, nrm, metric, pool_size)
+        safe = jnp.clip(pool_ids, 0, c_rows - 1)
+        pool_vecs = jnp.take(tab, safe.reshape(-1),
+                             axis=0).reshape(batch, pool_size, -1)
+        kept = _prune_batch_kernel(pool_vecs, pool_d, jnp.isfinite(pool_d),
+                                   metric, degree, alpha)
+        fwd = jnp.where(node_ids[:, None] < local_n,
+                        _extract_fwd(pool_ids, kept, degree), -1)
+        return None, fwd
+
+    _, fwd = jax.lax.scan(step, None, jnp.arange(n_b, dtype=jnp.int32))
+    return fwd.reshape(c_rows, degree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "metric", "knn_k", "degree", "pool_size",
+                     "search_l", "search_iters", "batch", "qb", "chunk",
+                     "alpha"))
+def _sharded_build(buf, norms, local_ns, reps, *, alpha: float, mesh,
+                   metric: int, knn_k: int, degree: int, pool_size: int,
+                   search_l: int, search_iters: int, batch: int, qb: int,
+                   chunk: int):
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS), P(SHARD_AXIS, None)),
+        out_specs=P(SHARD_AXIS, None, None), check_vma=False)
+    def run(tab, nrm, local_n, rp):
+        fwd = _shard_build_fwd(tab[0], nrm[0], local_n[0], metric, knn_k,
+                               degree, alpha, pool_size, search_l,
+                               search_iters, batch, rp[0], qb, chunk)
+        return fwd[None]
+
+    return run(buf, norms, local_ns, reps)
+
+
+# ---------------------------------------------------------------------------
+# Sharded query kernels.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "metric", "k"))
+def sharded_flat_query(queries, buf, norms, mask, *, mesh, metric: int,
+                       k: int):
+    """Replicated [B, Dp] queries vs interleaved sharded table -> global
+    top-k ([B, k] dists, [B, k] GLOBAL ids, -1/inf padded)."""
+    n_shards = mesh.devices.size
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS, None)),
+        out_specs=(P(), P()), check_vma=False)
+    def run(q, tab, nrm, msk):
+        shard_idx = jax.lax.axis_index(SHARD_AXIS)
+        tab, nrm, msk = tab[0], nrm[0], msk[0]
+        qn = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
+        d = _local_scores(q.astype(tab.dtype), tab, qn, nrm, metric)
+        d = jnp.where(msk[None, :], d, jnp.inf)
+        kk = min(k, tab.shape[0])
+        neg_top, ids = jax.lax.top_k(-d, kk)
+        gids = ids * n_shards + shard_idx
+        all_d = jax.lax.all_gather(-neg_top, SHARD_AXIS)
+        all_i = jax.lax.all_gather(gids, SHARD_AXIS)
+        b = q.shape[0]
+        all_d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, -1)
+        all_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, -1)
+        neg_m, sel = jax.lax.top_k(-all_d, min(k, all_d.shape[1]))
+        out_i = jnp.take_along_axis(all_i, sel, axis=1)
+        return -neg_m, jnp.where(jnp.isfinite(-neg_m), out_i, -1)
+
+    return run(queries, buf, norms, mask)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "metric", "beam_width", "expand", "max_iters",
+                     "num_seeds", "term_width", "k", "tail_start",
+                     "has_tail"))
+def sharded_graph_query(queries, buf, norms, adjacency, reps, mask, *,
+                        mesh, metric: int, beam_width: int, expand: int,
+                        max_iters: int, num_seeds: int, term_width: int,
+                        k: int, tail_start: int, has_tail: bool):
+    """Per-shard beam search + optional flat tail over post-build slots,
+    merged globally. Returns ([B, k] dists, [B, k] GLOBAL ids)."""
+    from ..ops.beam import beam_search_kernel
+
+    n_shards = mesh.devices.size
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS, None)),
+        out_specs=(P(), P()), check_vma=False)
+    def run(q, tab, nrm, adj, rp, msk):
+        shard_idx = jax.lax.axis_index(SHARD_AXIS)
+        tab, nrm, adj, rp, msk = tab[0], nrm[0], adj[0], rp[0], msk[0]
+        c_rows = tab.shape[0]
+        d, ids, _ = beam_search_kernel(
+            q, tab, nrm, adj, rp, metric, beam_width, expand, max_iters,
+            num_seeds, term_width)
+        safe = jnp.clip(ids, 0, c_rows - 1)
+        ok = (ids >= 0) & jnp.take(msk, safe)
+        d = jnp.where(ok, d, jnp.inf)
+        if has_tail:
+            # Flat tail over slots [tail_start, C): rows inserted after the
+            # graph build (reference tail merge,
+            # vec_search_executor.cpp:885-914).
+            qn = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
+            td = _local_scores(q.astype(tab.dtype), tab, qn, nrm, metric)
+            slot = jax.lax.broadcasted_iota(jnp.int32, td.shape, 1)
+            td = jnp.where((slot >= tail_start) & msk[None, :], td, jnp.inf)
+            kk = min(k, c_rows)
+            neg_t, t_ids = jax.lax.top_k(-td, kk)
+            d = jnp.concatenate([d, -neg_t], axis=1)
+            ids = jnp.concatenate([ids, t_ids], axis=1)
+        gids = jnp.where(jnp.isfinite(d), ids * n_shards + shard_idx, -1)
+        all_d = jax.lax.all_gather(d, SHARD_AXIS)
+        all_i = jax.lax.all_gather(gids, SHARD_AXIS)
+        b = q.shape[0]
+        all_d = jnp.transpose(all_d, (1, 0, 2)).reshape(b, -1)
+        all_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, -1)
+        neg_m, sel = jax.lax.top_k(-all_d, min(k, all_d.shape[1]))
+        out_i = jnp.take_along_axis(all_i, sel, axis=1)
+        return -neg_m, jnp.where(jnp.isfinite(-neg_m), out_i, -1)
+
+    return run(queries, buf, norms, adjacency, reps, mask)
+
+
+# ---------------------------------------------------------------------------
+# ShardedGraphIndex: the engine-facing object (GraphIndex counterpart).
+# ---------------------------------------------------------------------------
+
+BUILD_QB = 256
+BUILD_CHUNK = 2048
+BUILD_BATCH = 512
+
+
+class ShardedGraphIndex:
+    """Per-shard fixed-degree graphs over the interleaved layout."""
+
+    def __init__(self, mesh: Mesh, adjacency_host: np.ndarray,
+                 rep_ids_host: np.ndarray, num_rows: int,
+                 metric: MetricType):
+        self.mesh = mesh
+        self.n_shards = int(mesh.devices.size)
+        self.adjacency_host = adjacency_host  # [S, cap_s, R] local slots
+        self.rep_ids_host = rep_ids_host      # [S, n_reps] local slots
+        self.num_rows = int(num_rows)         # global rows covered
+        self.metric = metric
+        sharding3 = NamedSharding(mesh, P(SHARD_AXIS, None, None))
+        sharding2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+        self.adjacency = jax.device_put(adjacency_host, sharding3)
+        self.rep_ids = jax.device_put(rep_ids_host, sharding2)
+
+    @classmethod
+    def build(cls, store: ShardedVectorStore, host: np.ndarray,
+              norms_host: np.ndarray, n: int, metric: MetricType,
+              knn_k: int = 64, degree: int = 32, alpha: float = 1.2
+              ) -> "ShardedGraphIndex":
+        """Distributed build: device phases run per shard in one shard_map
+        program; reverse edges + connectivity repair run per shard on host
+        over the fetched forward edges."""
+        import time as _time
+        from ..index.graph import _make_rep_ids, finalize_adjacency
+
+        t0 = _time.perf_counter()
+        mesh, s = store.mesh, store.n_shards
+        store.sync(host, norms_host, n)
+        cap_s = store.cap_s
+        local_ns = np.array([-(-(n - i) // s) for i in range(s)], np.int32)
+        knn_k = int(min(knn_k, int(local_ns.min()) - 1))
+        degree = min(degree, knn_k)
+        r_total = degree * 2
+
+        # Per-shard representative seeds (local slots).
+        n_reps = int(min(2048, max(128, cap_s // 16)))
+        reps = np.zeros((s, n_reps), np.int32)
+        rng = np.random.default_rng(0)
+        for i in range(s):
+            ln = max(int(local_ns[i]), 1)
+            reps[i] = rng.choice(ln, size=n_reps,
+                                 replace=(ln < n_reps)).astype(np.int32)
+
+        qb = min(BUILD_QB, cap_s)
+        while cap_s % qb:
+            qb //= 2
+        chunk = min(BUILD_CHUNK, cap_s)
+        while cap_s % chunk:
+            chunk //= 2
+        batch = min(BUILD_BATCH, cap_s)
+        while cap_s % batch:
+            batch //= 2
+        pool_size = min(128, max(degree * 2, 64))
+
+        put2 = NamedSharding(mesh, P(SHARD_AXIS, None))
+        put1 = NamedSharding(mesh, P(SHARD_AXIS))
+        fwd_dev = _sharded_build(
+            store.buf, store.norms, jax.device_put(local_ns, put1),
+            jax.device_put(reps, put2), alpha=float(alpha), mesh=mesh,
+            metric=int(metric), knn_k=knn_k, degree=degree,
+            pool_size=pool_size, search_l=64, search_iters=24, batch=batch,
+            qb=qb, chunk=chunk)
+        fwd = np.asarray(fwd_dev)  # [S, cap_s, degree], one fetch
+
+        # Host finalize per shard over local-id space.
+        adjacency = np.full((s, cap_s, r_total), -1, np.int32)
+        for i in range(s):
+            ln = int(local_ns[i])
+            g = np.arange(ln) * s + i  # local slot -> global row
+            adj_i, n_comp = finalize_adjacency(
+                fwd[i, :ln], host[g], norms_host[g], ln, degree, r_total,
+                np.unique(reps[i][reps[i] < ln]))
+            adjacency[i, :ln] = adj_i
+            if n_comp:
+                logger.info(f"shard {i}: bridged {n_comp} components")
+        build_s = _time.perf_counter() - t0
+        logger.info(f"Sharded graph build: {n} rows over {s} shards, "
+                    f"degree {degree}x2, {build_s:.1f}s")
+        return cls(mesh, adjacency, reps, n, metric)
+
+    def save(self, path: str) -> None:
+        import io
+        import json as _json
+        from ..utils import atomic_write_bytes
+
+        buf = io.BytesIO()
+        np.savez(buf, adjacency=self.adjacency_host,
+                 rep_ids=self.rep_ids_host,
+                 meta=np.frombuffer(_json.dumps({
+                     "num_rows": self.num_rows,
+                     "metric": int(self.metric),
+                     "n_shards": self.n_shards,
+                 }).encode("utf-8"), dtype=np.uint8))
+        atomic_write_bytes(path, buf.getvalue())
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh) -> "ShardedGraphIndex":
+        import json as _json
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = _json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
+            adjacency = z["adjacency"]
+            rep_ids = z["rep_ids"]
+        if meta["n_shards"] != int(mesh.devices.size):
+            raise ValueError(
+                f"graph sharded over {meta['n_shards']} shards, mesh has "
+                f"{mesh.devices.size}")
+        return cls(mesh, adjacency, rep_ids, meta["num_rows"],
+                   MetricType(meta["metric"]))
+
+
+class ShardedDenseField:
+    """Per-field sharded data plane attached to a Table: store + graph +
+    query dispatch. Search returns GLOBAL candidate ids; the caller applies
+    the same exact re-rank as the single-chip path."""
+
+    def __init__(self, mesh: Mesh, dim: int, dtype: str = "bfloat16"):
+        self.mesh = mesh
+        self.store = ShardedVectorStore(mesh, dim, dtype)
+        self.graph: Optional[ShardedGraphIndex] = None
+        self._mask_cache: Optional[Tuple[int, object]] = None
+
+    def sync(self, host: np.ndarray, norms_host: np.ndarray, n_rows: int):
+        self.store.sync(host, norms_host, n_rows)
+
+    def _sharded_mask(self, valid: np.ndarray, version: Optional[int]):
+        """Per-shard slot mask on device; cached by segment mutation
+        version for pure-validity masks (uploads are expensive here)."""
+        if (version is not None and self._mask_cache is not None
+                and self._mask_cache[0] == version
+                and self._mask_cache[1].shape[1] == self.store.cap_s):
+            return self._mask_cache[1]
+        mask = shard_mask(valid, self.store.n_shards, self.store.cap_s)
+        dm = jax.device_put(
+            mask, NamedSharding(self.mesh, P(SHARD_AXIS, None)))
+        if version is not None:
+            self._mask_cache = (version, dm)
+        return dm
+
+    def search(self, queries_padded: np.ndarray, valid: np.ndarray,
+               metric: MetricType, k: int, use_graph: bool,
+               beam_width: int, expand: int, term_width: int,
+               mask_version: Optional[int] = None) -> np.ndarray:
+        """[B, Dp] padded queries -> [B, k] global candidate ids (-1 pad)."""
+        st = self.store
+        mask_dev = self._sharded_mask(valid, mask_version)
+        q = jnp.asarray(queries_padded)
+        g = self.graph
+        if use_graph and g is not None:
+            tail = st.length > g.num_rows
+            d, ids = sharded_graph_query(
+                q, st.buf, st.norms, g.adjacency, g.rep_ids, mask_dev,
+                mesh=self.mesh, metric=int(metric),
+                beam_width=int(beam_width), expand=int(expand),
+                max_iters=int(beam_width), num_seeds=32,
+                term_width=int(term_width), k=int(k),
+                tail_start=int(g.num_rows // st.n_shards),
+                has_tail=bool(tail))
+        else:
+            d, ids = sharded_flat_query(
+                q, st.buf, st.norms, mask_dev, mesh=self.mesh,
+                metric=int(metric), k=int(k))
+        ids = np.asarray(ids).astype(np.int64)
+        ids[~np.isfinite(np.asarray(d))] = -1
+        return ids

@@ -83,10 +83,24 @@ class Table:
         self.graphs: Dict[str, Any] = {}
         self.graph_lock = threading.Lock()
         self._graph_built_rows: Dict[str, int] = {}
+        # Multi-chip data plane (config.shard_count >= 2): each dense field
+        # gets a row-sharded device store + per-shard graphs on the mesh.
+        self.sharded_fields: Dict[str, Any] = {}
+        self.mesh = None
+        if self.config.shard_count >= 2:
+            from .parallel.engine import get_engine_mesh
+            self.mesh = get_engine_mesh(self.config.shard_count)
+            if self.mesh is None:
+                logger.warning("ShardCount set but only one device "
+                               "available; sharded mode disabled")
         for f in schema.fields:
             if f.is_dense_vector():
                 self.graphs[f.name] = None
                 self._graph_built_rows[f.name] = 0
+                if self.mesh is not None:
+                    from .parallel.engine import ShardedDenseField
+                    self.sharded_fields[f.name] = ShardedDenseField(
+                        self.mesh, f.vector_dimension)
                 self._try_load_graph(f.name)
 
     # ------------------------------------------------------------------
@@ -324,6 +338,14 @@ class Table:
                                           (b_pad - b_real,
                                            queries.shape[1]))], axis=0)
 
+        sharded = getattr(self, "sharded_fields", {}).get(field_name)
+        if sharded is not None:
+            cand_ids = self._sharded_candidates(
+                sharded, field_name, queries, valid, metric, k_eff, n,
+                n_alive, mask_cacheable)
+            return self._rerank_candidates(field_name, queries, cand_ids,
+                                           metric, k_eff, b_real)
+
         use_graph = (graph is not None
                      and n >= self.config.brute_force_threshold
                      and not self.config.pre_filter)
@@ -363,8 +385,48 @@ class Table:
                 min(k_eff + RERANK_SLACK, max(n_alive, 1)),
                 mask_cacheable=mask_cacheable)
 
-        # Exact f32 re-rank on the host mirror: dedups bf16 ties and makes
-        # reported @distance values exact. Batch padding is dropped first.
+        return self._rerank_candidates(field_name, queries, cand_ids,
+                                       metric, k_eff, b_real)
+
+    def _sharded_candidates(self, sf, field_name: str, queries: np.ndarray,
+                            valid: np.ndarray, metric: MetricType,
+                            k_eff: int, n: int, n_alive: int,
+                            mask_cacheable: bool) -> np.ndarray:
+        """Candidate generation on the sharded data plane: per-shard beam
+        (+tail) or per-shard flat, all_gather-merged to GLOBAL ids."""
+        seg = self.segment
+        sf.sync(seg.dense_host[field_name], seg.dense_norms[field_name], n)
+        qp = np.zeros((queries.shape[0], sf.store.dim_padded),
+                      dtype=np.float32)
+        qp[:, : queries.shape[1]] = queries
+        use_graph = (sf.graph is not None
+                     and n >= self.config.brute_force_threshold
+                     and not self.config.pre_filter)
+        k_cand = min(k_eff + RERANK_SLACK, max(n_alive, 1))
+        ver = seg.mutation_version if mask_cacheable else None
+        beam = max(self.config.search_ef, k_eff + RERANK_SLACK)
+        term = max(self.config.beam_term_width, k_eff + RERANK_SLACK)
+        cand_ids = sf.search(qp, valid, metric, k_cand,
+                             use_graph=use_graph, beam_width=beam,
+                             expand=self.config.beam_expand,
+                             term_width=term, mask_version=ver)
+        if use_graph:
+            per_query_valid = (cand_ids >= 0).sum(axis=1)
+            if per_query_valid.min() < min(k_eff, n_alive):
+                f_ids = sf.search(qp, valid, metric, k_cand,
+                                  use_graph=False, beam_width=beam,
+                                  expand=self.config.beam_expand,
+                                  term_width=term, mask_version=ver)
+                cand_ids = np.concatenate([cand_ids, f_ids], axis=1)
+        return cand_ids
+
+    def _rerank_candidates(self, field_name: str, queries: np.ndarray,
+                           cand_ids: np.ndarray, metric: MetricType,
+                           k_eff: int, b_real: int
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact f32 re-rank on the host mirror: dedups bf16 ties and makes
+        reported @distance values exact. Batch padding is dropped first."""
+        seg = self.segment
         cand_ids = cand_ids[:b_real]
         host = seg.dense_host[field_name]
         exact = flat_ops.exact_rerank(
@@ -658,7 +720,33 @@ class Table:
         return os.path.join(self.db_path, str(self.schema.id),
                             f"ann_graph_{fmap[field_name].id}.npz")
 
+    def _sharded_graph_path(self, field_name: str) -> str:
+        fmap = self.schema.field_map()
+        return os.path.join(self.db_path, str(self.schema.id),
+                            f"ann_graph_{fmap[field_name].id}_sharded.npz")
+
     def _try_load_graph(self, field_name: str) -> None:
+        sf = self.sharded_fields.get(field_name)
+        if sf is not None:
+            path = self._sharded_graph_path(field_name)
+            if os.path.exists(path):
+                try:
+                    from .parallel.engine import ShardedGraphIndex
+                    g = ShardedGraphIndex.load(path, self.mesh)
+                    if g.num_rows > self.segment.record_number:
+                        logger.warning(
+                            f"Skipping sharded graph for {field_name}: "
+                            f"built from {g.num_rows} rows but table has "
+                            f"{self.segment.record_number}")
+                        return
+                    with self.graph_lock:
+                        sf.graph = g
+                        self._graph_built_rows[field_name] = g.num_rows
+                except Exception as e:
+                    logger.error(
+                        f"Failed to load sharded graph for {field_name}: "
+                        f"{e}")
+            return
         path = self._graph_path(field_name)
         if os.path.exists(path):
             try:
@@ -690,6 +778,29 @@ class Table:
                 continue
             built = self._graph_built_rows[f.name]
             if n < self.config.minimal_graph_size or built == n:
+                continue
+            sf = self.sharded_fields.get(f.name)
+            if sf is not None:
+                if self.is_leader:
+                    try:
+                        from .parallel.engine import ShardedGraphIndex
+                        g = ShardedGraphIndex.build(
+                            sf.store, self.segment.dense_host[f.name],
+                            self.segment.dense_norms[f.name], n,
+                            self.metric_map[f.name],
+                            knn_k=self.config.graph_knn_k,
+                            degree=self.config.graph_degree,
+                            alpha=self.config.graph_alpha)
+                        g.save(self._sharded_graph_path(f.name))
+                        with self.graph_lock:
+                            sf.graph = g
+                            self._graph_built_rows[f.name] = g.num_rows
+                    except Exception as e:
+                        logger.error(
+                            f"Sharded graph build failed for {f.name}: {e}")
+                else:
+                    self._try_load_graph(f.name)
+                self._warmup(f.name)
                 continue
             if self.is_leader:
                 try:
@@ -751,5 +862,8 @@ class Table:
         self.wal.close()
         for f in self.graphs:
             self.graphs[f] = None
+        for sf in self.sharded_fields.values():
+            sf.graph = None
+            sf.store.invalidate()
         for store in self.segment.dense_device.values():
             store.invalidate()
