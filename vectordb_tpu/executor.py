@@ -23,6 +23,9 @@ class DeviceExecutor:
         self._queue: "queue.Queue" = queue.Queue()
         self._thread_id: Optional[int] = None
         self._stop = threading.Event()
+        # Serializes inline execution when no loop is active (library
+        # mode): concurrent callers must not hit the device together.
+        self._inline_lock = threading.Lock()
 
     # ---- executor side ------------------------------------------------
 
@@ -54,9 +57,13 @@ class DeviceExecutor:
         return fut
 
     def run(self, fn: Callable, *args, **kwargs):
-        """Run fn on the executor thread (or directly if we already are the
-        executor thread / no loop is active)."""
-        if (self._thread_id is None
-                or threading.get_ident() == self._thread_id):
+        """Run fn on the executor thread; directly (under an inline lock,
+        so concurrent library-mode callers stay serialized) when no loop is
+        active or we already are the executor thread."""
+        if threading.get_ident() == self._thread_id:
             return fn(*args, **kwargs)
+        if self._thread_id is None:
+            with self._inline_lock:
+                if self._thread_id is None:  # loop may have started
+                    return fn(*args, **kwargs)
         return self.submit(fn, *args, **kwargs).result()

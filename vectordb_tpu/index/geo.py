@@ -36,6 +36,34 @@ class GeospatialIndex:
             self._points[row_id] = (lat, lon)
             self._cells.setdefault(self._cell(lat, lon), set()).add(row_id)
 
+    def bulk_insert(self, lats: np.ndarray, lons: np.ndarray,
+                    row_ids: np.ndarray) -> None:
+        """Vectorized batch insert: one numpy pass computes every cell key,
+        rows are grouped per cell with a single sort (replaces per-point
+        insert_point calls on snapshot load / bulk ingest)."""
+        n = len(row_ids)
+        if n == 0:
+            return
+        lats = np.asarray(lats, dtype=np.float64)
+        lons = np.asarray(lons, dtype=np.float64)
+        row_ids = np.asarray(row_ids, dtype=np.int64)
+        ci = np.floor(lats / self.cell_deg).astype(np.int64)
+        cj = np.floor(lons / self.cell_deg).astype(np.int64)
+        # Composite key for grouping (lon cells fit comfortably in 2^32).
+        key = ci * (1 << 32) + cj
+        order = np.argsort(key, kind="stable")
+        keys_sorted = key[order]
+        boundaries = np.nonzero(np.diff(keys_sorted))[0] + 1
+        groups = np.split(order, boundaries)
+        with self._lock:
+            self._points.update(
+                zip(row_ids.tolist(), zip(lats.tolist(), lons.tolist())))
+            for grp in groups:
+                r0 = int(grp[0])
+                cell = (int(ci[r0]), int(cj[r0]))
+                self._cells.setdefault(cell, set()).update(
+                    row_ids[grp].tolist())
+
     def delete_point(self, row_id: int) -> None:
         with self._lock:
             pt = self._points.pop(row_id, None)

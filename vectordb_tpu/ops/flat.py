@@ -143,11 +143,10 @@ def exact_rerank(queries_f32: np.ndarray,
     if metric == MetricType.EUCLIDEAN:
         diff = cand - q
         d = np.einsum("bkd,bkd->bk", diff, diff, dtype=np.float32)
-    elif metric == MetricType.COSINE:
-        d = 1.0 - np.einsum("bkd,bkd->bk", cand, q.repeat(kk, axis=1),
-                            dtype=np.float32)
     else:
-        d = -np.einsum("bkd,bkd->bk", cand, q.repeat(kk, axis=1),
-                       dtype=np.float32)
+        # einsum broadcasts the [B, 1, D] query view — no [B, k, D]
+        # materialized copy.
+        ip = np.einsum("bkd,bod->bk", cand, q, dtype=np.float32)
+        d = 1.0 - ip if metric == MetricType.COSINE else -ip
     d = np.where(ids < 0, np.inf, d)
     return d

@@ -85,9 +85,14 @@ def shard_mask(valid: np.ndarray, n_shards: int, cap_s: int) -> np.ndarray:
     return _interleave(valid, n_shards, cap_s, dtype=bool)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",), donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("mesh",))
 def _sharded_append(buf, norms, rows, new_norms, starts, *, mesh):
-    """Append per-shard packed rows at per-shard start slots."""
+    """Append per-shard packed rows at per-shard start slots.
+
+    Deliberately NOT donated: a concurrent search may hold (and be about
+    to dispatch with) the previous buffer handle; donation would delete it
+    out from under that call. The copy is on-device and batched-append
+    rare, so correctness wins."""
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -117,6 +122,7 @@ class ShardedVectorStore:
         self.length = 0      # global rows synced so far
         self.buf = None      # [S, cap_s, dim_padded]
         self.norms = None    # [S, cap_s] f32
+        self._sync_lock = threading.Lock()
 
     @property
     def capacity(self) -> int:
@@ -147,7 +153,13 @@ class ShardedVectorStore:
         self.length = needed
 
     def sync(self, host: np.ndarray, norms_host: np.ndarray, n_rows: int):
-        """Bring the sharded buffer up to date with host rows [0, n_rows)."""
+        """Bring the sharded buffer up to date with host rows [0, n_rows).
+        Serialized: concurrent syncs would both read self.length and
+        double-append."""
+        with self._sync_lock:
+            self._sync_locked(host, norms_host, n_rows)
+
+    def _sync_locked(self, host, norms_host, n_rows: int):
         if self.buf is None or n_rows + self.n_shards > self.capacity:
             self._grow(n_rows, host, norms_host)
             return

@@ -488,9 +488,10 @@ class TableSegment:
                     lat, lon = col
                     self.geo_cols[name][0][start:stop] = lat[keep]
                     self.geo_cols[name][1][start:stop] = lon[keep]
-                    gidx = self.geo_indices[name]
-                    for r, (la, lo) in enumerate(zip(lat[keep], lon[keep])):
-                        gidx.insert_point(float(la), float(lo), start + r)
+                    kept_n = stop - start
+                    self.geo_indices[name].bulk_insert(
+                        lat[keep], lon[keep],
+                        start + np.arange(kept_n, dtype=np.int64))
                 elif ft in (FieldType.STRING, FieldType.JSON):
                     kept_vals = [v for v, k in zip(col, keep) if k]
                     self.varlen_cols[name][start:stop] = kept_vals
@@ -708,14 +709,13 @@ class TableSegment:
                                         count=n).astype(bool)
         for name in seg.primitive_cols:
             seg.primitive_cols[name][:n] = columns["prim:" + name]
+        alive_rows = np.nonzero(~seg.deleted[:n])[0]
         for name in seg.geo_cols:
             lat_src, lon_src = columns["geo:" + name]
             seg.geo_cols[name][0][:n] = lat_src
             seg.geo_cols[name][1][:n] = lon_src
-            idx = seg.geo_indices[name]
-            for r in range(n):
-                if not seg.deleted[r]:
-                    idx.insert_point(float(lat_src[r]), float(lon_src[r]), r)
+            seg.geo_indices[name].bulk_insert(
+                lat_src[alive_rows], lon_src[alive_rows], alive_rows)
         for name in seg.varlen_cols:
             seg.varlen_cols[name][:n] = columns["varlen:" + name]
         for name in seg.sparse_cols:
@@ -725,18 +725,17 @@ class TableSegment:
             seg.dense_norms[name][:n] = np.einsum(
                 "nd,nd->n", seg.dense_host[name][:n],
                 seg.dense_host[name][:n]).astype(np.float32)
-        # Rebuild PK map (reference load ctor rebuilds it, 177-236).
+        # Rebuild PK map (reference load ctor rebuilds it, 177-236);
+        # vectorized — one tolist + dict.update instead of an O(N) loop of
+        # per-row int()/dict stores.
         if seg.pk_field is not None:
             fld = seg.schema.field_map()[seg.pk_field]
+            rows = alive_rows.tolist()
             if fld.field_type in INT_TYPES:
-                col = seg.primitive_cols[seg.pk_field]
-                for r in range(n):
-                    if not seg.deleted[r]:
-                        seg.pk_map[int(col[r])] = r
+                keys = seg.primitive_cols[seg.pk_field][alive_rows].tolist()
             else:
                 col = seg.varlen_cols[seg.pk_field]
-                for r in range(n):
-                    if not seg.deleted[r]:
-                        seg.pk_map[str(col[r])] = r
+                keys = [str(col[r]) for r in rows]
+            seg.pk_map.update(zip(keys, rows))
         seg.skip_sync_disk = True
         return seg

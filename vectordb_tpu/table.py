@@ -676,37 +676,46 @@ class Table:
                       if not f.is_index_field]
         if ids is None:
             ids = np.arange(seg.record_number, dtype=np.int64)
-        out: List[Dict[str, Any]] = []
-        fmap = self.schema.field_map()
-        for i, rid in enumerate(ids):
-            rid = int(rid)
-            rec: Dict[str, Any] = {}
-            for name in fields:
-                ft = self.field_type_map[name]
-                if ft in DENSE_VECTOR_TYPES:
-                    rec[name] = [float(x) for x in seg.dense_host[name][rid]]
-                elif ft in SPARSE_VECTOR_TYPES:
-                    v = seg.sparse_cols[name][rid]
-                    rec[name] = (v.to_json() if v is not None
-                                 else {"indices": [], "values": []})
-                elif ft == FieldType.STRING:
-                    rec[name] = seg.varlen_cols[name][rid]
-                elif ft == FieldType.JSON:
-                    raw = seg.varlen_cols[name][rid]
-                    rec[name] = json.loads(raw) if raw else None
-                elif ft == FieldType.GEO_POINT:
-                    lat, lon = seg.geo_cols[name]
-                    rec[name] = {"latitude": float(lat[rid]),
-                                 "longitude": float(lon[rid])}
-                elif ft == FieldType.BOOL:
-                    rec[name] = bool(seg.primitive_cols[name][rid])
-                elif ft in (FieldType.FLOAT, FieldType.DOUBLE):
-                    rec[name] = float(seg.primitive_cols[name][rid])
-                else:
-                    rec[name] = int(seg.primitive_cols[name][rid])
-            if with_distance and distances is not None:
-                rec["@distance"] = float(distances[i])
-            out.append(rec)
+        ids = np.asarray(ids, dtype=np.int64)
+        m = len(ids)
+        # Column-at-a-time extraction (one vectorized numpy op / tolist per
+        # field), then one zip to assemble row dicts — replaces the O(rows
+        # x fields) per-element Python conversions.
+        cols: List[Tuple[str, List[Any]]] = []
+        for name in fields:
+            ft = self.field_type_map[name]
+            if ft in DENSE_VECTOR_TYPES:
+                vals = seg.dense_host[name][ids].astype(np.float64).tolist()
+            elif ft in SPARSE_VECTOR_TYPES:
+                col = seg.sparse_cols[name]
+                vals = [(col[r].to_json() if col[r] is not None
+                         else {"indices": [], "values": []})
+                        for r in ids.tolist()]
+            elif ft == FieldType.STRING:
+                col = seg.varlen_cols[name]
+                vals = [col[r] for r in ids.tolist()]
+            elif ft == FieldType.JSON:
+                col = seg.varlen_cols[name]
+                vals = [(json.loads(col[r]) if col[r] else None)
+                        for r in ids.tolist()]
+            elif ft == FieldType.GEO_POINT:
+                lat, lon = seg.geo_cols[name]
+                vals = [{"latitude": la, "longitude": lo}
+                        for la, lo in zip(lat[ids].tolist(),
+                                          lon[ids].tolist())]
+            elif ft == FieldType.BOOL:
+                vals = seg.primitive_cols[name][ids].astype(bool).tolist()
+            else:
+                vals = seg.primitive_cols[name][ids].tolist()
+            cols.append((name, vals))
+        out: List[Dict[str, Any]] = [dict() for _ in range(m)]
+        for name, vals in cols:
+            for rec, v in zip(out, vals):
+                rec[name] = v
+        if with_distance and distances is not None:
+            dvals = np.asarray(distances, dtype=np.float64)[:m].tolist()
+            for rec, dv in zip(out, dvals):
+                rec["@distance"] = dv
         return out
 
     # ------------------------------------------------------------------

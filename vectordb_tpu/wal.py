@@ -79,17 +79,26 @@ class WriteAheadLog:
             f.write(str(self.counter.get()))
 
     def _rotate(self) -> None:
+        """Swap target paths; files open lazily on first write so a
+        binary-mode table doesn't litter empty text .log files (and vice
+        versa)."""
         if self._file is not None:
             self._file.close()
+            self._file = None
         if self._bin_file is not None:
             self._bin_file.close()
             self._bin_file = None
         ensure_dir(self.logs_folder)
-        name = os.path.join(self.logs_folder, f"{int(time.time())}.log")
-        self._file = open(name, "a", encoding="utf-8")
+        self._text_path = os.path.join(self.logs_folder,
+                                       f"{int(time.time())}.log")
         self._bin_path = os.path.join(self.logs_folder,
                                       f"{int(time.time())}.blog")
         self._last_rotation = time.time()
+
+    def _text_file(self):
+        if self._file is None:
+            self._file = open(self._text_path, "a", encoding="utf-8")
+        return self._file
 
     def _binary_file(self):
         if self._bin_file is None:
@@ -116,8 +125,9 @@ class WriteAheadLog:
             if time.time() - self._last_rotation > ROTATION_INTERVAL_S:
                 self._rotate()
             next_id = self.counter.increment_and_get()
-            self._file.write(f"{next_id} {entry_type} {entry}\n")
-            self._file.flush()
+            f = self._text_file()
+            f.write(f"{next_id} {entry_type} {entry}\n")
+            f.flush()
         return next_id
 
     def write_binary_entry(self, entry_type: int, payload: bytes) -> int:
