@@ -1,26 +1,37 @@
 """Benchmark: batched ANN query throughput at high recall on one TPU chip.
 
 Prints ONE JSON line to stdout:
-  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio}
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
 
-Workload (mirrors BASELINE.json config-3 at reduced scale): SIFT-like
-clustered 200k x 128-d EUCLIDEAN table, graph index build, batched top-10
-queries through the full engine path (beam search + validity filter + exact
-f32 re-rank), recall@10 measured against the exact oracle and required to be
->= 0.95 for the number to count.
+Workload (BASELINE.json config-3 shape): SIFT-like clustered 500k x 128-d
+EUCLIDEAN table, graph index build, batched top-10 queries through the full
+engine path (beam search + validity filter + exact f32 re-rank).
 
-vs_baseline is measured against single-process numpy/BLAS brute-force QPS on
-the same host — a stand-in for the reference's CPU SIMD flat scan (the
-reference publishes no numbers; BASELINE.md documents this).
+Protocol (VERDICT r1 items 3-5):
+  - recall scoring happens OUTSIDE the timed region;
+  - QPS is the MEDIAN of N_TIMED timed passes (run-to-run variance on the
+    tunneled chip is high);
+  - p50/p99 per-batch latency are reported;
+  - the number only counts if recall@10 >= 0.99;
+  - vs_baseline is the measured C++ reference-core QPS from
+    benchmarks/REF_BASELINE.json at its best recall>=0.99 config
+    (clustered_100k, single CPU core — see that file for the policy and
+    the 500k recall-collapse note). The old numpy-brute ratio is kept as
+    a secondary field.
+
 Diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+N_TIMED = 3
+RECALL_FLOOR = 0.99
 
 
 def log(msg):
@@ -34,7 +45,8 @@ def main():
                                      TableSchema)
     from vectordb_tpu.segment import TableSegment
 
-    n, dim, k, n_queries, batch = 500_000, 128, 10, 2048, 2048
+    n = int(os.environ.get("BENCH_N", 500_000))
+    dim, k, n_queries, batch = 128, 10, 2048, 2048
     rng = np.random.default_rng(0)
     centers = rng.normal(size=(3000, dim)) * 2
     x = (centers[rng.integers(0, 3000, n)]
@@ -57,22 +69,18 @@ def main():
     build_s = time.time() - t0
     log(f"graph build {n}x{dim}: {build_s:.1f}s")
 
-    # Exact ground truth (blocked to bound memory).
-    t0 = time.time()
+    # Exact ground truth (blocked to bound memory) — untimed.
     gt = np.empty((n_queries, k), dtype=np.int64)
     xn = (x ** 2).sum(1)
     for s in range(0, n_queries, 128):
         q = queries[s:s + 128]
         d = (q ** 2).sum(1)[:, None] - 2.0 * (q @ x.T) + xn[None, :]
-        gt[s:s + 128] = np.argpartition(d, k, axis=1)[:, :k]
-        row_d = np.take_along_axis(d, gt[s:s + 128], axis=1)
-        gt[s:s + 128] = np.take_along_axis(gt[s:s + 128],
-                                           np.argsort(row_d, axis=1), axis=1)
-    oracle_s = time.time() - t0
-    log(f"numpy oracle: {oracle_s:.1f}s")
+        part = np.argpartition(d, k, axis=1)[:, :k]
+        row_d = np.take_along_axis(d, part, axis=1)
+        gt[s:s + 128] = np.take_along_axis(part, np.argsort(row_d, axis=1),
+                                           axis=1)
 
-    # Numpy/BLAS brute-force QPS baseline (CPU flat scan, batched);
-    # measured on a query subsample, it is throughput-per-query.
+    # Numpy/BLAS brute-force QPS (secondary reference point).
     n_base = 256
     t0 = time.time()
     for s in range(0, n_base, 128):
@@ -80,7 +88,20 @@ def main():
         d = (q ** 2).sum(1)[:, None] - 2.0 * (q @ x.T) + xn[None, :]
         np.argpartition(d, k, axis=1)[:, :k]
     cpu_qps = n_base / (time.time() - t0)
-    log(f"cpu brute baseline: {cpu_qps:.0f} qps")
+    log(f"numpy brute baseline: {cpu_qps:.0f} qps")
+
+    # Measured C++ reference-core baseline (see REF_BASELINE.json).
+    ref_qps = 0.0
+    ref_note = ""
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "REF_BASELINE.json")
+    try:
+        with open(ref_path) as f:
+            refj = json.load(f)
+        ref_qps = float(refj["measured"]["clustered_100k"]["qps"])
+        ref_note = "epsilla C++ core, clustered_100k recall=1.0, 1 CPU core"
+    except Exception as e:  # baseline file optional
+        log(f"no REF_BASELINE.json ({e}); vs_baseline falls back to numpy")
 
     # Engine path: batched graph search + exact re-rank.
     from vectordb_tpu.config import global_config
@@ -90,6 +111,7 @@ def main():
         def __init__(self):  # bench drives the segment directly
             self.segment = seg
             self.graphs = {"V": graph}
+            self.sharded_fields = {}
             self.config = global_config
             self.metric_map = {"V": MetricType.EUCLIDEAN}
             self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
@@ -97,34 +119,125 @@ def main():
     table = _Shim()
     valid = seg.valid_mask()
 
-    def run_all():
-        hits = 0
+    def run_all(collect_ids=False):
+        out = [] if collect_ids else None
+        lat = []
         for s in range(0, n_queries, batch):
+            t_b = time.perf_counter()
             ids, _ = table.batch_dense_search(
                 "V", queries[s:s + batch], valid, MetricType.EUCLIDEAN, k)
-            for i in range(ids.shape[0]):
-                hits += len(set(ids[i, :k].tolist())
-                            & set(gt[s + i].tolist()))
-        return hits / (n_queries * k)
+            lat.append(time.perf_counter() - t_b)
+            if collect_ids:
+                out.append(ids[:, :k])
+        return out, lat
 
-    recall = run_all()  # warmup + recall
-    t0 = time.time()
-    run_all()
-    tpu_qps = n_queries / (time.time() - t0)
-    log(f"engine: {tpu_qps:.0f} qps at recall@10={recall:.4f}")
+    # Warmup + recall scoring (untimed).
+    ids_all, _ = run_all(collect_ids=True)
+    hits = 0
+    for bi, s in enumerate(range(0, n_queries, batch)):
+        ids = ids_all[bi]
+        for i in range(ids.shape[0]):
+            hits += len(set(ids[i].tolist()) & set(gt[s + i].tolist()))
+    recall = hits / (n_queries * k)
 
-    if recall < 0.95:
-        log(f"RECALL BELOW FLOOR ({recall:.4f} < 0.95); reporting 0")
-        tpu_qps = 0.0
+    # Timed passes: median QPS, pooled per-batch latency percentiles.
+    qps_runs, lats = [], []
+    for _ in range(N_TIMED):
+        t0 = time.time()
+        _, lat = run_all()
+        qps_runs.append(n_queries / (time.time() - t0))
+        lats.extend(lat)
+    qps = float(np.median(qps_runs))
+    p50_ms = float(np.percentile(lats, 50) * 1e3)
+    p99_ms = float(np.percentile(lats, 99) * 1e3)
+    log(f"engine: {qps:.0f} qps (runs {[round(r) for r in qps_runs]}) at "
+        f"recall@10={recall:.4f}; batch p50 {p50_ms:.1f} ms p99 "
+        f"{p99_ms:.1f} ms")
 
+    if recall < RECALL_FLOOR:
+        log(f"RECALL BELOW FLOOR ({recall:.4f} < {RECALL_FLOOR}); "
+            "reporting 0")
+        qps = 0.0
+
+    # Like-for-like comparison phase: the reference core's only measured
+    # recall>=0.99 config is 100k clustered (REF_BASELINE.json) — its
+    # recall collapses at 500k (0.13). Measure THIS engine at the same
+    # 100k scale so vs_baseline compares identical workloads; the 500k
+    # numbers above stand as the scale headroom the reference lacks.
+    qps_100k, recall_100k = 0.0, 0.0
+    if ref_qps and n != 100_000 and n > 100_000:
+        m = 100_000
+        seg2 = TableSegment(schema, m)
+        seg2.record_number = m
+        seg2.dense_host["V"][:m] = x[:m]
+        seg2.dense_norms["V"][:m] = (x[:m] ** 2).sum(1)
+        g2 = GraphIndex.build(seg2, "V", MetricType.EUCLIDEAN)
+        gt2 = np.empty((n_queries, k), dtype=np.int64)
+        xn2 = xn[:m]
+        for s in range(0, n_queries, 128):
+            qq = queries[s:s + 128]
+            d = (qq ** 2).sum(1)[:, None] - 2.0 * (qq @ x[:m].T) + xn2[None]
+            part = np.argpartition(d, k, axis=1)[:, :k]
+            row_d = np.take_along_axis(d, part, axis=1)
+            gt2[s:s + 128] = np.take_along_axis(
+                part, np.argsort(row_d, axis=1), axis=1)
+
+        table2 = _Shim()
+        table2.segment = seg2
+        table2.graphs = {"V": g2}
+        valid2 = seg2.valid_mask()
+
+        def run2():
+            hits2 = 0
+            for s in range(0, n_queries, batch):
+                ids, _ = table2.batch_dense_search(
+                    "V", queries[s:s + batch], valid2,
+                    MetricType.EUCLIDEAN, k)
+                for i in range(ids.shape[0]):
+                    hits2 += len(set(ids[i, :k].tolist())
+                                 & set(gt2[s + i].tolist()))
+            return hits2 / (n_queries * k)
+
+        recall_100k = run2()  # warmup + recall (untimed)
+        runs2 = []
+        for _ in range(N_TIMED):
+            t0 = time.time()
+            for s in range(0, n_queries, batch):
+                table2.batch_dense_search(
+                    "V", queries[s:s + batch], valid2,
+                    MetricType.EUCLIDEAN, k)
+            runs2.append(n_queries / (time.time() - t0))
+        qps_100k = float(np.median(runs2))
+        log(f"100k comparison: {qps_100k:.0f} qps at "
+            f"recall@10={recall_100k:.4f} (ref C++ 1-core: {ref_qps:.0f})")
+        if recall_100k < RECALL_FLOOR:
+            qps_100k = 0.0
+
+    if ref_qps and qps_100k:
+        vs = qps_100k / ref_qps
+    elif ref_qps:
+        vs = qps / ref_qps
+    else:
+        vs = qps / cpu_qps if cpu_qps else 0.0
     print(json.dumps({
-        "metric": f"batched_qps_recall@10>=0.95_{n//1000}k_{dim}d",
-        "value": round(tpu_qps, 1),
+        "metric": f"batched_qps_recall@10>={RECALL_FLOOR}_{n//1000}k_{dim}d",
+        "value": round(qps, 1),
         "unit": "qps",
-        "vs_baseline": round(tpu_qps / cpu_qps, 2) if cpu_qps else 0.0,
+        "vs_baseline": round(vs, 2),
+        "baseline": (ref_note and
+                     "epsilla C++ core @100k clustered recall>=0.99, "
+                     "1 CPU core (like-for-like scale)") or
+                    "numpy BLAS brute",
         "recall_at_10": round(recall, 4),
         "build_seconds": round(build_s, 1),
-        "cpu_brute_qps": round(cpu_qps, 1),
+        "batch_p50_ms": round(p50_ms, 1),
+        "batch_p99_ms": round(p99_ms, 1),
+        "qps_runs": [round(r, 1) for r in qps_runs],
+        "qps_100k_like_for_like": round(qps_100k, 1),
+        "recall_100k": round(recall_100k, 4),
+        "ref_cpp_qps_100k_1core": round(ref_qps, 1),
+        "ref_cpp_recall_at_500k": 0.1279,
+        "numpy_brute_qps": round(cpu_qps, 1),
     }))
 
 

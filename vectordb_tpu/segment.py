@@ -605,6 +605,40 @@ class TableSegment:
                        self.dense_norms[field_name], self.record_number)
         return store
 
+    def device_column(self, name: str, capacity: int):
+        """Device-resident primitive/geo column padded to `capacity`,
+        cached by segment mutation version (for device-side filter masks).
+        Returns None when the column can't be represented exactly in f32
+        (int values >= 2^24) — the caller falls back to the host path."""
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_device_col_cache", None)
+        if cache is None:
+            cache = self._device_col_cache = {}
+        key = (name, capacity)
+        hit = cache.get(key)
+        if hit is not None and hit[0] == self.mutation_version:
+            return hit[1]
+        n = self.record_number
+        if name in self.geo_cols:
+            lat, lon = self.geo_cols[name]
+            pl = np.zeros(capacity, np.float32)
+            po = np.zeros(capacity, np.float32)
+            pl[:n] = lat[:n]
+            po[:n] = lon[:n]
+            dev = (jnp.asarray(pl), jnp.asarray(po))
+        else:
+            col = self.primitive_cols[name]
+            if col.dtype.kind in "iu" and n and \
+                    np.abs(col[:n]).max(initial=0) >= (1 << 24):
+                dev = None  # f32 can't represent exactly; host path
+            else:
+                p = np.zeros(capacity, np.float32)
+                p[:n] = col[:n]
+                dev = jnp.asarray(p)
+        cache[key] = (self.mutation_version, dev)
+        return dev
+
     def valid_mask(self, n_padded: Optional[int] = None) -> np.ndarray:
         """Bool mask over [0, n_padded): alive rows below record_number."""
         n = self.record_number

@@ -42,11 +42,25 @@ from .wal import (BIN_INSERT, BIN_UPSERT, DELETE, INSERT, UPSERT,
 
 # Candidate-pool over-fetch for exact f32 re-ranking of bf16 device scores.
 RERANK_SLACK = 32
+# Graph path fetches only [B, k + GRAPH_SLACK] from device (selection
+# happens on-device; the slack absorbs bf16 ordering jitter for the exact
+# f32 re-rank). Small on purpose: d2h transfer size is the latency driver.
+GRAPH_SLACK = 8
 
 # Query batches are padded up to these sizes so each table compiles at most
 # len(BATCH_BUCKETS) kernel shapes (per-shape XLA compilation is expensive;
 # padded lanes are nearly free on the MXU).
 BATCH_BUCKETS = (16, 128, 512, 2048)
+
+
+class _FilterCtx:
+    """Pushed-down filter carried into the search kernels: `device` is the
+    compiled device mask (flat scans), `compiler` the host evaluator used
+    for candidate-subset post-filters (graph path)."""
+
+    def __init__(self, compiler: FilterCompiler, device):
+        self.compiler = compiler
+        self.device = device
 
 
 def _bucket_batch(b: int) -> int:
@@ -254,10 +268,17 @@ class Table:
         uses_distance = compiler.uses_distance() if compiler else False
 
         # Pre-search mask: alive rows, plus pushed-down filters when they
-        # don't reference @distance.
+        # don't reference @distance. Numeric/bool/geo filters on dense
+        # queries compile to a DEVICE mask over version-cached device
+        # columns (no per-query host eval or mask upload); everything else
+        # folds into the host mask here.
         valid = seg.valid_mask()
+        filter_ctx = None
         if compiler is not None and not uses_distance:
-            valid &= compiler.mask(n_rows=n)
+            if not is_sparse:
+                filter_ctx = self._device_filter(filter_nodes, compiler)
+            if filter_ctx is None:
+                valid &= compiler.mask(n_rows=n)
 
         if uses_distance:
             k_cand = min(max(limit, self.config.master_queue_size), n)
@@ -276,8 +297,10 @@ class Table:
         else:
             ids, dists = self._dense_search(
                 field_name, query_data, valid, metric, k_cand,
-                mask_cacheable=(compiler is None or uses_distance),
-                batchable=(compiler is None))
+                mask_cacheable=(compiler is None or uses_distance
+                                or filter_ctx is not None),
+                batchable=(compiler is None),
+                filter_ctx=filter_ctx)
 
         # Post-filter for @distance predicates (reference top-L scan,
         # vec_search_executor.cpp:906-927).
@@ -286,9 +309,36 @@ class Table:
             ids, dists = ids[keep], dists[keep]
         return ids[:limit], dists[:limit]
 
+    def _device_filter(self, filter_nodes: List[ExprNode], compiler):
+        """Per-table cache of compiled device filters (constants included
+        in the key, device-put once). Returns a _FilterCtx or None when the
+        tree isn't device-compilable."""
+        from .expr.device import (DeviceFilter, collect_constants,
+                                  is_device_compilable, _structure_key)
+
+        if not is_device_compilable(filter_nodes):
+            return None
+        cache = getattr(self, "_device_filter_cache", None)
+        if cache is None:
+            cache = self._device_filter_cache = {}
+        key = (_structure_key(filter_nodes),
+               tuple(collect_constants(filter_nodes).tolist()))
+        df = cache.get(key)
+        if df is None:
+            try:
+                df = DeviceFilter(filter_nodes, self.segment)
+            except Exception as e:
+                logger.debug(f"device filter compile fell back to host: {e}")
+                return None
+            if len(cache) > 256:
+                cache.clear()
+            cache[key] = df
+        return _FilterCtx(compiler, df)
+
     def _dense_search(self, field_name: str, query: np.ndarray,
                       valid: np.ndarray, metric: MetricType, k: int,
-                      mask_cacheable: bool = False, batchable: bool = False
+                      mask_cacheable: bool = False, batchable: bool = False,
+                      filter_ctx: Optional["_FilterCtx"] = None
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Single-query dense search: graph path when a fresh-enough graph
         exists and the table is large, else fused flat scan. Returns exact
@@ -305,16 +355,18 @@ class Table:
         if run is not None:
             ids, dists = run.run(self.batch_dense_search, field_name,
                                  query[None, :], valid, metric, k,
-                                 mask_cacheable=mask_cacheable)
+                                 mask_cacheable=mask_cacheable,
+                                 filter_ctx=filter_ctx)
         else:
             ids, dists = self.batch_dense_search(
                 field_name, query[None, :], valid, metric, k,
-                mask_cacheable=mask_cacheable)
+                mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
         return ids[0], dists[0]
 
     def batch_dense_search(self, field_name: str, queries: np.ndarray,
                            valid: np.ndarray, metric: MetricType, k: int,
-                           mask_cacheable: bool = False
+                           mask_cacheable: bool = False,
+                           filter_ctx: Optional["_FilterCtx"] = None
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched dense search over [B, D] queries -> ([B, k] ids, dists).
 
@@ -340,6 +392,13 @@ class Table:
 
         sharded = getattr(self, "sharded_fields", {}).get(field_name)
         if sharded is not None:
+            if filter_ctx is not None:
+                # Sharded plane keeps the host mask path (its masks are
+                # per-shard); fold the filter into `valid` here.
+                valid = valid & filter_ctx.compiler.mask(n_rows=n)
+                n_alive = int(np.count_nonzero(valid))
+                k_eff = min(k, max(n_alive, 1))
+                mask_cacheable = False
             cand_ids = self._sharded_candidates(
                 sharded, field_name, queries, valid, metric, k_eff, n,
                 n_alive, mask_cacheable)
@@ -351,23 +410,33 @@ class Table:
                      and not self.config.pre_filter)
         if use_graph:
             from .ops import beam as beam_ops
-            cand_ids = beam_ops.beam_search(
-                graph, queries, valid, metric,
-                beam_width=max(self.config.search_ef, k_eff + RERANK_SLACK),
-                expand=self.config.beam_expand,
-                term_width=max(self.config.beam_term_width,
-                               k_eff + RERANK_SLACK))
-            # Validity filter on graph candidates (deleted / filtered rows
-            # are traversed but never returned — reference post-filter).
-            safe = np.clip(cand_ids, 0, len(valid) - 1)
-            cand_ids = np.where((cand_ids >= 0) & valid[safe], cand_ids, -1)
+            # Mask-aware device search: traversal sees every row, the
+            # returned top-k excludes deleted/filtered rows ON DEVICE
+            # (reference post-filter semantics), and only [B, k_out] is
+            # fetched — transfer size, not compute, dominates latency here.
+            store = seg.device_view(field_name)
+            dm = self._composed_device_mask(store, valid, mask_cacheable,
+                                            filter_ctx)
+            k_out = min(k_eff + GRAPH_SLACK, graph.num_rows)
+            import jax.numpy as jnp
+            qp = np.zeros((queries.shape[0], store.dim_padded),
+                          dtype=np.float32)
+            qp[:, : queries.shape[1]] = queries
+            bw = max(self.config.search_ef, k_out)
+            d_dev, ids_dev = beam_ops.beam_search_topk(
+                jnp.asarray(qp), graph.table, graph.norms, graph.adjacency,
+                graph.rep_ids, dm, int(metric), int(bw),
+                int(self.config.beam_expand), int(bw), 32,
+                int(max(self.config.beam_term_width, k_out)), int(k_out))
+            cand_ids = np.asarray(ids_dev).astype(np.int64)
+            cand_ids[~np.isfinite(np.asarray(d_dev))] = -1
             # Brute-force tail over rows inserted after the graph was built.
             tail_start = graph.num_rows
             if n > tail_start:
                 t_ids, _ = self._flat_candidates(
                     field_name, queries, valid, metric,
                     min(k_eff + RERANK_SLACK, n), row_start=tail_start,
-                    mask_cacheable=mask_cacheable)
+                    mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
                 cand_ids = np.concatenate([cand_ids, t_ids], axis=1)
             # Selective-filter fallback: if the beam did not surface enough
             # valid rows, top up with a masked flat scan (guarantees full-k
@@ -377,13 +446,13 @@ class Table:
                 f_ids, _ = self._flat_candidates(
                     field_name, queries, valid, metric,
                     min(k_eff + RERANK_SLACK, max(n_alive, 1)),
-                    mask_cacheable=mask_cacheable)
+                    mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
                 cand_ids = np.concatenate([cand_ids, f_ids], axis=1)
         else:
             cand_ids, _ = self._flat_candidates(
                 field_name, queries, valid, metric,
                 min(k_eff + RERANK_SLACK, max(n_alive, 1)),
-                mask_cacheable=mask_cacheable)
+                mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
 
         return self._rerank_candidates(field_name, queries, cand_ids,
                                        metric, k_eff, b_real)
@@ -476,13 +545,31 @@ class Table:
             cache[key] = (ver, dm)
         return dm
 
+    def _composed_device_mask(self, store, valid: np.ndarray,
+                              mask_cacheable: bool,
+                              filter_ctx: Optional["_FilterCtx"],
+                              row_start: int = 0):
+        """Validity mask (version-cached on device) AND'ed with the
+        device-compiled filter when present; falls back to a host fold if
+        a filter column can't live on device exactly."""
+        dm = self._device_mask(store, valid, row_start, mask_cacheable)
+        if filter_ctx is None:
+            return dm
+        fdm = filter_ctx.device.mask(dm, store.capacity)
+        if fdm is None:  # column not device-representable: host fold
+            host = valid & filter_ctx.compiler.mask(n_rows=len(valid))
+            return self._device_mask(store, host, row_start, False)
+        return fdm
+
     def _flat_candidates(self, field_name: str, queries: np.ndarray,
                          valid: np.ndarray, metric: MetricType, k: int,
-                         row_start: int = 0, mask_cacheable: bool = False
+                         row_start: int = 0, mask_cacheable: bool = False,
+                         filter_ctx: Optional["_FilterCtx"] = None
                          ) -> Tuple[np.ndarray, np.ndarray]:
         """Fused device scan over rows [row_start, n) -> top-k candidates."""
         store = self.segment.device_view(field_name)
-        dm = self._device_mask(store, valid, row_start, mask_cacheable)
+        dm = self._composed_device_mask(store, valid, mask_cacheable,
+                                        filter_ctx, row_start)
         qp = np.zeros((queries.shape[0], store.dim_padded), dtype=np.float32)
         qp[:, : store.dim] = queries
         import jax.numpy as jnp
