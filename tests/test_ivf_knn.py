@@ -1,0 +1,84 @@
+"""IVF-partitioned KNN (ops/ivf.py): neighbor quality vs exact KNN, and a
+graph build routed through the IVF path via config.ivf_knn_threshold."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vectordb_tpu.config import global_config
+from vectordb_tpu.ops.ivf import ivf_knn
+from vectordb_tpu.ops.knn import exact_knn
+from vectordb_tpu.schema import MetricType
+
+
+def _table(n, dim, seed=0, clusters=50):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(clusters, dim)) * 3
+    x = (centers[rng.integers(0, clusters, n)]
+         + rng.normal(size=(n, dim))).astype(np.float32)
+    n_pad = -(-n // 1024) * 1024
+    xp = np.zeros((n_pad, dim), np.float32)
+    xp[:n] = x
+    return x, jnp.asarray(xp), jnp.asarray((xp ** 2).sum(1))
+
+
+def test_ivf_knn_matches_exact():
+    n, dim, k = 6000, 32, 16
+    x, tab, norms = _table(n, dim)
+    ids, d = ivf_knn(tab, norms, n, k, MetricType.EUCLIDEAN,
+                     cluster_rows=512, n_probe=4, block=1024)
+    e_ids, e_d = exact_knn(tab, norms, n, k, MetricType.EUCLIDEAN)
+    e_ids = np.asarray(e_ids)[:n]
+    sample = np.arange(0, n, 7)
+    hits = sum(len(set(ids[i].tolist()) & set(e_ids[i].tolist()))
+               for i in sample)
+    recall = hits / (len(sample) * k)
+    assert recall >= 0.9, recall
+    # Self never appears; pads are -1 with inf distance.
+    for i in sample:
+        assert i not in set(ids[i].tolist())
+    assert np.isinf(d[ids == -1]).all()
+
+
+def test_ivf_knn_skewed_clusters():
+    """Heavily skewed assignment exercises the spill/packing path."""
+    rng = np.random.default_rng(3)
+    n, dim = 4000, 16
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    x[: n // 2] *= 0.01  # half the rows collapse into one tight blob
+    n_pad = 4096
+    xp = np.zeros((n_pad, dim), np.float32)
+    xp[:n] = x
+    tab = jnp.asarray(xp)
+    norms = jnp.asarray((xp ** 2).sum(1))
+    ids, d = ivf_knn(tab, norms, n, 8, MetricType.EUCLIDEAN,
+                     cluster_rows=256, n_probe=4, block=1024)
+    covered = np.unique(ids[ids >= 0])
+    # Every row got SOME neighbors and appears somewhere.
+    assert (ids >= 0).any(axis=1).mean() > 0.99
+
+
+def test_graph_build_via_ivf(tmp_path):
+    import vectordb_tpu as vdb
+
+    old = global_config.ivf_knn_threshold
+    global_config.ivf_knn_threshold = 2000
+    try:
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(5000, 32)).astype(np.float32)
+        vdb.load_db("ivfdb", str(tmp_path / "ivfdb"))
+        vdb.use_db("ivfdb")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 32,
+             "metricType": "EUCLIDEAN"}])
+        vdb.insert_columns("t", {"ID": np.arange(5000), "V": x}, 5000)
+        assert vdb.rebuild() == 0
+        hits = 0
+        for qi in (5, 777, 4321):
+            code, res = vdb.query("t", "V", x[qi].tolist(), ["ID"], 10)
+            d = ((x - x[qi]) ** 2).sum(1)
+            oracle = set(np.argsort(d, kind="stable")[:10].tolist())
+            hits += len(set(r["ID"] for r in res) & oracle)
+        assert hits >= 28, hits
+    finally:
+        global_config.ivf_knn_threshold = old

@@ -55,6 +55,9 @@ class Config:
         # this many devices (0 = off / single chip). Requires >= 2 devices;
         # tables created after the change pick it up.
         self.shard_count = 0
+        # Above this row count, graph builds use IVF-partitioned KNN
+        # (ops/ivf.py, sub-quadratic) instead of the exact blocked scan.
+        self.ivf_knn_threshold = 1_500_000
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
         """Apply a JSON config update.
@@ -156,6 +159,11 @@ class Config:
                 if not (0 <= v <= 4096):
                     return False, False
                 self.shard_count = v
+            if "IvfKnnThreshold" in cfg:
+                v = int(cfg["IvfKnnThreshold"])
+                if not (10_000 <= v <= 1_000_000_000):
+                    return False, False
+                self.ivf_knn_threshold = v
         return True, swap
 
     def to_dict(self) -> Dict[str, Any]:
@@ -179,6 +187,7 @@ class Config:
             "WalTextFormat": self.wal_text_format,
             "BeamTermWidth": self.beam_term_width,
             "ShardCount": self.shard_count,
+            "IvfKnnThreshold": self.ivf_knn_threshold,
         }
 
 

@@ -325,11 +325,28 @@ class GraphIndex:
         knn_k = min(knn_k, n - 1)
         degree = min(degree, knn_k)
 
-        # 1. Exact KNN graph (MXU). Stays on device — host/device round
-        #    trips dominate wall clock in this deployment, so the whole
-        #    build pipeline computes on device and fetches once at the end.
+        # 1. KNN graph (MXU). Exact blocked scan up to the config
+        #    threshold (O(N^2) in distance evaluations but stays on device
+        #    and is minutes up to ~2M rows); above it, IVF-partitioned
+        #    exact-over-probes (ops/ivf.py) keeps the build sub-quadratic
+        #    (the role of the reference's NN-Descent at scale,
+        #    knn/nndescent.hpp:76-192).
         _lap("knn")
-        knn_ids, knn_d = exact_knn(store.buf, store.norms, n, knn_k, metric)
+        from ..config import global_config as _cfg
+        if n >= getattr(_cfg, "ivf_knn_threshold", 1_500_000):
+            from ..ops.ivf import ivf_knn
+            ids_h, d_h = ivf_knn(store.buf, store.norms, n, knn_k, metric)
+            pad_n = -(-n // PRUNE_BATCH) * PRUNE_BATCH
+            if pad_n > n:
+                ids_h = np.pad(ids_h, ((0, pad_n - n), (0, 0)),
+                               constant_values=-1)
+                d_h = np.pad(d_h, ((0, pad_n - n), (0, 0)),
+                             constant_values=np.inf)
+            knn_ids = jnp.asarray(ids_h)
+            knn_d = jnp.asarray(d_h)
+        else:
+            knn_ids, knn_d = exact_knn(store.buf, store.norms, n, knn_k,
+                                       metric)
 
         _lap("nav")
         # 2. Navigation point: nearest row to the centroid
