@@ -471,10 +471,10 @@ class Table:
         use_graph = (sf.graph is not None
                      and n >= self.config.brute_force_threshold
                      and not self.config.pre_filter)
-        k_cand = min(k_eff + RERANK_SLACK, max(n_alive, 1))
+        k_cand = min(k_eff + GRAPH_SLACK, max(n_alive, 1))
         ver = seg.mutation_version if mask_cacheable else None
-        beam = max(self.config.search_ef, k_eff + RERANK_SLACK)
-        term = max(self.config.beam_term_width, k_eff + RERANK_SLACK)
+        beam = max(self.config.search_ef, k_eff + GRAPH_SLACK)
+        term = max(self.config.beam_term_width, k_eff + GRAPH_SLACK)
         cand_ids = sf.search(qp, valid, metric, k_cand,
                              use_graph=use_graph, beam_width=beam,
                              expand=self.config.beam_expand,
