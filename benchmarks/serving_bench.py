@@ -1,0 +1,151 @@
+"""Concurrent REST serving benchmark: closed-loop clients against the
+full server stack (HTTP -> DBServer -> QueryBatcher -> device kernels).
+
+Mirrors the reference's HTTP concurrency test (reference
+test/concurrency/test.py: threads x queries via pyepsilla) at production
+shape: starts the server as a subprocess (device loop on its main
+thread), ingests a clustered table, rebuilds, then runs N closed-loop
+client threads issuing top-10 queries and reports QPS + latency
+percentiles as one JSON line.
+
+Usage: python benchmarks/serving_bench.py [port] [n_rows] [clients]
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def post(port, path, payload, timeout=600):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read().decode())
+
+
+def main():
+    port = int(sys.argv[1]) if len(sys.argv) > 1 else 18911
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    n_clients = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    per_client = 40
+    dim, k = 128, 10
+
+    tmp = tempfile.mkdtemp(prefix="servbench")
+    with open(tmp + "/server.log", "wb") as logf:
+        proc = subprocess.Popen(
+            [sys.executable, "-u", "-m", "vectordb_tpu", "-p", str(port)],
+            cwd=REPO, stdout=logf, stderr=logf,
+            start_new_session=True)
+    try:
+        for _ in range(120):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/state", timeout=2)
+                break
+            except Exception:
+                time.sleep(1)
+        else:
+            raise RuntimeError("server did not come up")
+
+        post(port, "/api/load", {"name": "sb", "path": tmp + "/sb"})
+        post(port, "/api/sb/schema/tables", {
+            "name": "t",
+            "fields": [
+                {"name": "ID", "dataType": "INT", "primaryKey": True},
+                {"name": "V", "dataType": "VECTOR_FLOAT",
+                 "dimensions": dim, "metricType": "EUCLIDEAN"}],
+        })
+        rng = np.random.default_rng(0)
+        centers = rng.normal(size=(3000, dim)) * 2
+        x = (centers[rng.integers(0, 3000, n)]
+             + rng.normal(size=(n, dim))).astype(np.float32)
+        t0 = time.time()
+        bs = 10_000
+        for s in range(0, n, bs):
+            recs = [{"ID": i, "V": x[i].tolist()} for i in range(s, min(s + bs, n))]
+            post(port, "/api/sb/data/insert", {"table": "t", "data": recs})
+        ingest_s = time.time() - t0
+        print(f"ingest {n}: {ingest_s:.1f}s "
+              f"({n/ingest_s:.0f} rows/s via JSON REST)", file=sys.stderr)
+        t0 = time.time()
+        post(port, "/api/rebuild", {})
+        rebuild_s = time.time() - t0
+        print(f"rebuild: {rebuild_s:.1f}s", file=sys.stderr)
+
+        queries = (x[rng.integers(0, n, 4096)]
+                   + 0.1 * rng.normal(size=(4096, dim))).astype(np.float32)
+
+        def one_query(qi):
+            return post(port, "/api/sb/data/query", {
+                "table": "t", "queryField": "V",
+                "queryVector": queries[qi % 4096].tolist(),
+                "limit": k, "withDistance": True}, timeout=300)
+
+        # warmup
+        for qi in range(4):
+            one_query(qi)
+
+        lat = []
+        lat_lock = threading.Lock()
+        errors = []
+
+        def client(cid):
+            mine = []
+            try:
+                for j in range(per_client):
+                    t1 = time.perf_counter()
+                    r = one_query(cid * per_client + j)
+                    mine.append(time.perf_counter() - t1)
+                    if r.get("statusCode") != 200:
+                        errors.append(r)
+            except Exception as e:
+                errors.append(repr(e))
+            with lat_lock:
+                lat.extend(mine)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        total = n_clients * per_client
+        qps = (total - len(errors)) / wall
+        lat_ms = np.asarray(lat) * 1e3
+        out = {
+            "metric": f"rest_serving_qps_{n_clients}clients_{n//1000}k",
+            "value": round(qps, 1),
+            "unit": "qps",
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+            "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+            "errors": len(errors),
+            "ingest_rows_per_s": round(n / ingest_s, 1),
+            "rebuild_seconds": round(rebuild_s, 1),
+        }
+        print(json.dumps(out))
+        if errors[:2]:
+            print("sample errors:", errors[:2], file=sys.stderr)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+if __name__ == "__main__":
+    main()

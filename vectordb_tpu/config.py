@@ -57,7 +57,7 @@ class Config:
         self.shard_count = 0
         # Above this row count, graph builds use IVF-partitioned KNN
         # (ops/ivf.py, sub-quadratic) instead of the exact blocked scan.
-        self.ivf_knn_threshold = 1_500_000
+        self.ivf_knn_threshold = 3_000_000
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
         """Apply a JSON config update.

@@ -333,7 +333,7 @@ class GraphIndex:
         #    knn/nndescent.hpp:76-192).
         _lap("knn")
         from ..config import global_config as _cfg
-        if n >= getattr(_cfg, "ivf_knn_threshold", 1_500_000):
+        if n >= getattr(_cfg, "ivf_knn_threshold", 3_000_000):
             from ..ops.ivf import ivf_knn
             ids_h, d_h = ivf_knn(store.buf, store.norms, n, knn_k, metric)
             pad_n = -(-n // PRUNE_BATCH) * PRUNE_BATCH

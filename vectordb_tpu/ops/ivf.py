@@ -100,7 +100,24 @@ def _assign_all(table, centroids, n_valid, block: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "k", "cap", "n_probe"))
+    jax.jit, static_argnames=("metric", "k", "cap", "n_probe", "group"))
+def _probed_knn_group(ti0, members, member_valid, table, probe_ids,
+                      metric: int, k: int, cap: int, n_probe: int,
+                      group: int):
+    """KNN for `group` consecutive tiles in ONE dispatch (per-call relay
+    latency dominates small per-tile programs in tunneled deployments).
+    Returns (d [G, cap, k], ids [G, cap, k])."""
+
+    def one(_, gi):
+        dd, ii = _probed_knn_batch(ti0 + gi, members, member_valid, table,
+                                   probe_ids, metric, k, cap, n_probe)
+        return None, (dd, ii)
+
+    _, (d_all, i_all) = jax.lax.scan(
+        one, None, jnp.arange(group, dtype=jnp.int32))
+    return d_all, i_all
+
+
 def _probed_knn_batch(ci, members, member_valid, table, probe_ids,
                       metric: int, k: int, cap: int, n_probe: int):
     """Exact KNN for the rows of cluster `ci` against the rows of its
@@ -140,99 +157,106 @@ def _probed_knn_batch(ci, members, member_valid, table, probe_ids,
 
 
 def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
-            cluster_rows: int = 4096, n_probe: int = 4,
-            kmeans_iters: int = 6, block: int = 8192
-            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            cluster_rows: int = 1024, n_probe: int = 8,
+            kmeans_iters: int = 8, block: int = 8192,
+            max_clusters: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sub-quadratic KNN over rows [0, n) of device table [N_pad, D].
 
     Returns HOST numpy (ids [n, k] int32 global rows, d [n, k] f32),
     neighbors ascending, self excluded, -1 padded. Interface mirrors
     ops/knn.exact_knn but materializes on host (callers at this scale are
     the graph builder, which immediately needs host adjacency anyway).
+
+    k-means is trained on a row SAMPLE (64 rows/centroid) — Lloyd over the
+    full table wastes PFLOPs for no assignment quality — then the full
+    table is assigned once. The centroid count is padded to a multiple of
+    128 (MXU lanes) with far-away dummies.
     """
     import time as _time
 
     t0 = _time.perf_counter()
     n_pad = table.shape[0]
-    c = max(8, _round_up(n, cluster_rows) // cluster_rows)
+    c_real = max(8, min(n // cluster_rows, max_clusters))
+    c = _round_up(c_real, 128)
     blk = min(block, n_pad)
     while n_pad % blk:
         blk //= 2
 
-    # 1. k-means on device (init: evenly strided rows).
-    init_ids = np.linspace(0, n - 1, c).astype(np.int32)
-    centroids = jnp.take(table, jnp.asarray(init_ids),
-                         axis=0).astype(jnp.float32)
-    centroids = _kmeans_iters(table, norms, centroids, n, blk, kmeans_iters)
+    # 1. Sample-trained k-means (init: evenly strided rows; pad centroids
+    #    with 1e15 dummies no row ever picks).
+    rng = np.random.default_rng(0)
+    s = min(n, 64 * c_real)
+    samp_ids = (np.linspace(0, n - 1, s).astype(np.int64)
+                if s < n else np.arange(n, dtype=np.int64))
+    s_pad = _round_up(s, 1024)
+    samp_pad = np.zeros(s_pad, np.int64)
+    samp_pad[:s] = samp_ids
+    sample = jnp.take(table, jnp.asarray(samp_pad.astype(np.int32)), axis=0)
+    init_ids = np.linspace(0, s - 1, c_real).astype(np.int32)
+    cent0 = np.full((c, table.shape[1]), 1e15, np.float32)
+    cent0[:c_real] = np.asarray(
+        jnp.take(sample, jnp.asarray(init_ids), axis=0), dtype=np.float32)
+    s_norms = jnp.sum(sample.astype(jnp.float32) ** 2, axis=1)
+    centroids = _kmeans_iters(sample, s_norms, jnp.asarray(cent0), s,
+                              1024, kmeans_iters)
 
-    # 2. Assignment (top-2 clusters per row, for spill).
-    a1, a2 = _assign_all(table, centroids, n, blk)
+    # 2. Assignment of ALL rows (top-1; tiles absorb skew exactly).
+    a1, _ = _assign_all(table, centroids, n, blk)
     a1 = np.asarray(a1)[:n]
-    a2 = np.asarray(a2)[:n]
     t_km = _time.perf_counter()
 
-    # 3. Padded membership with bounded spill (host, vectorized).
-    cap = int(_round_up(int(np.bincount(a1, minlength=c).max() * 1.2) + 8,
-                        128))
-    # Hard bound on memory: refuse pathological caps.
-    cap = min(cap, max(2 * cluster_rows, 8192))
-    members = np.full((c, cap), -1, np.int64)
-    fill = np.zeros(c, np.int64)
-    pend_rows = np.arange(n, dtype=np.int64)
-    pend_assign = a1.copy()
-    for _ in range(2):  # primary placement, then one spill round (2nd
-        order = np.argsort(pend_assign, kind="stable")  # nearest cluster)
-        sc = pend_assign[order]
-        uniq, first, cnt = np.unique(sc, return_index=True,
-                                     return_counts=True)
-        rank = np.arange(len(order)) - np.repeat(first, cnt)
-        slot = fill[sc] + rank
-        ok = slot < cap
-        members[sc[ok], slot[ok]] = pend_rows[order][ok]
-        fill += np.bincount(sc[ok], minlength=c).astype(np.int64)
-        spill_rows = pend_rows[order][~ok]
-        if len(spill_rows) == 0:
-            break
-        pend_rows = spill_rows
-        pend_assign = a2[spill_rows]
-    # Rows still unplaced after the spill round (pathological skew) go to
-    # whatever clusters have space — every row must be represented.
-    placed = np.zeros(n, dtype=bool)
-    placed[members[members >= 0]] = True
-    missing = np.nonzero(~placed)[0]
-    if len(missing):
-        logger.warning(f"ivf_knn: {len(missing)} rows overflowed their "
-                       "top-2 clusters; packing into free slots")
-        free_c, free_s = np.nonzero(members < 0)
-        take = min(len(missing), len(free_c))
-        members[free_c[:take], free_s[:take]] = missing[:take]
+    # 3. Tiled membership: every cluster is split into ceil(size/T) tiles
+    #    of EXACTLY T slots sharing the cluster's centroid — no spill, no
+    #    oversized caps (a skewed cluster inflating cap would square into
+    #    the probe matmuls). Sibling tiles probe each other via their
+    #    identical centroids.
+    cap = cluster_rows
+    counts = np.bincount(a1, minlength=c)
+    tiles_per = -(-counts // cap)
+    first_tile = np.zeros(c + 1, np.int64)
+    np.cumsum(tiles_per, out=first_tile[1:])
+    n_tiles = int(first_tile[-1])
+    order = np.argsort(a1, kind="stable")
+    sc = a1[order]
+    uniq, first, cnt = np.unique(sc, return_index=True, return_counts=True)
+    rank = np.arange(n, dtype=np.int64) - np.repeat(first, cnt)
+    tile_idx = first_tile[sc] + rank // cap
+    slot = rank % cap
+    members = np.full((n_tiles, cap), -1, np.int64)
+    members[tile_idx, slot] = order
+    tile_cluster = np.repeat(np.arange(c), tiles_per)
 
     members_dev = jnp.asarray(members.astype(np.int32))
     valid_dev = jnp.asarray(members >= 0)
 
-    # 4. Cluster probe lists by centroid distance (self first).
-    cn = jnp.sum(centroids * centroids, axis=1)
-    ipc = centroids @ centroids.T
-    cdist = cn[:, None] - 2.0 * ipc + cn[None, :]
-    p = min(n_probe, c)
-    _, probe_ids = jax.lax.top_k(-cdist, p)     # [C, P], self included
+    # 4. Tile probe lists by tile-centroid distance (self forced first).
+    tc = np.asarray(centroids)[tile_cluster]
+    tc_dev = jnp.asarray(tc)
+    cn = jnp.sum(tc_dev * tc_dev, axis=1)
+    cdist = cn[:, None] - 2.0 * (tc_dev @ tc_dev.T) + cn[None, :]
+    cdist = cdist.at[jnp.arange(n_tiles), jnp.arange(n_tiles)].set(-1.0)
+    p = min(n_probe, n_tiles)
+    _, probe_ids = jax.lax.top_k(-cdist, p)     # [T, P], self first
     t_part = _time.perf_counter()
 
-    # 5. Exact KNN per cluster against probed clusters.
+    # 5. Exact KNN, `group` tiles per dispatch (relay latency amortized).
     out_ids = np.full((n, k), -1, np.int32)
     out_d = np.full((n, k), np.inf, np.float32)
-    for ci in range(c):
-        dd, ii = _probed_knn_batch(jnp.int32(ci), members_dev, valid_dev,
+    group = min(16, n_tiles)
+    for t0_ in range(0, n_tiles, group):
+        ti0 = min(t0_, n_tiles - group)  # overlap tail, same shape
+        dd, ii = _probed_knn_group(jnp.int32(ti0), members_dev, valid_dev,
                                    table, probe_ids, int(metric), k,
-                                   cap, p)
+                                   cap, p, group)
         ii_h = np.asarray(ii)
         dd_h = np.asarray(dd)
-        mrows = members[ci]
-        okm = mrows >= 0
-        out_ids[mrows[okm]] = ii_h[okm]
-        out_d[mrows[okm]] = dd_h[okm]
+        for gi in range(t0_ - ti0, group):
+            mrows = members[ti0 + gi]
+            okm = mrows >= 0
+            out_ids[mrows[okm]] = ii_h[gi][okm]
+            out_d[mrows[okm]] = dd_h[gi][okm]
     logger.info(
-        f"ivf_knn: n={n} C={c} cap={cap} probe={p} "
+        f"ivf_knn: n={n} C={c_real} tiles={n_tiles} cap={cap} probe={p} "
         f"kmeans {t_km - t0:.1f}s partition {t_part - t_km:.1f}s "
         f"score {_time.perf_counter() - t_part:.1f}s")
     return out_ids, out_d
