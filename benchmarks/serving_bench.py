@@ -67,6 +67,9 @@ def main():
                 {"name": "V", "dataType": "VECTOR_FLOAT",
                  "dimensions": dim, "metricType": "EUCLIDEAN"}],
         })
+        win = os.environ.get("SERV_BATCH_WINDOW_MS")
+        if win:
+            post(port, "/api/config", {"QueryBatchWindowMs": float(win)})
         rng = np.random.default_rng(0)
         centers = rng.normal(size=(3000, dim)) * 2
         x = (centers[rng.integers(0, 3000, n)]
@@ -87,15 +90,27 @@ def main():
         queries = (x[rng.integers(0, n, 4096)]
                    + 0.1 * rng.normal(size=(4096, dim))).astype(np.float32)
 
-        def one_query(qi):
-            return post(port, "/api/sb/data/query", {
-                "table": "t", "queryField": "V",
-                "queryVector": queries[qi % 4096].tolist(),
-                "limit": k, "withDistance": True}, timeout=300)
+        # Pre-serialize query payloads once (client-side JSON encode of
+        # 128 floats is pure overhead on this shared single core).
+        payloads = [json.dumps({
+            "table": "t", "queryField": "V",
+            "queryVector": queries[i].tolist(),
+            "limit": k, "withDistance": True}).encode()
+            for i in range(512)]
 
-        # warmup
+        def one_query(conn, qi):
+            conn.request("POST", "/api/sb/data/query",
+                         payloads[qi % 512],
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            body = r.read()
+            return json.loads(body)
+
+        import http.client
+        warm = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
         for qi in range(4):
-            one_query(qi)
+            one_query(warm, qi)
+        warm.close()
 
         lat = []
         lat_lock = threading.Lock()
@@ -103,15 +118,19 @@ def main():
 
         def client(cid):
             mine = []
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=300)
             try:
                 for j in range(per_client):
                     t1 = time.perf_counter()
-                    r = one_query(cid * per_client + j)
+                    r = one_query(conn, cid * per_client + j)
                     mine.append(time.perf_counter() - t1)
                     if r.get("statusCode") != 200:
                         errors.append(r)
             except Exception as e:
                 errors.append(repr(e))
+            finally:
+                conn.close()
             with lat_lock:
                 lat.extend(mine)
 
@@ -126,6 +145,13 @@ def main():
         total = n_clients * per_client
         qps = (total - len(errors)) / wall
         lat_ms = np.asarray(lat) * 1e3
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/api/metrics",
+                    timeout=30) as r:
+                print("metrics:", r.read().decode()[:600], file=sys.stderr)
+        except Exception:
+            pass
         out = {
             "metric": f"rest_serving_qps_{n_clients}clients_{n//1000}k",
             "value": round(qps, 1),

@@ -137,3 +137,23 @@ def test_big_int_pk_falls_back(tmp_path):
     d[np.asarray(ids_all) >= thr] = np.inf
     oracle = [ids_all[i] for i in np.argsort(d, kind="stable")[:5]]
     assert got == oracle
+
+
+def test_all_masked_graph_query(tmp_path):
+    """Every row filtered out: graph path + flat top-up must return empty,
+    not crash or return masked rows."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1500, 16)).astype(np.float32)
+    vdb.load_db("fdb3", str(tmp_path / "fdb3"))
+    vdb.use_db("fdb3")
+    vdb.create_table("t3", [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 16,
+         "metricType": "EUCLIDEAN"}])
+    vdb.insert("t3", [{"ID": i, "V": x[i].tolist()} for i in range(1500)])
+    vdb.rebuild()
+    code, res = vdb.query("t3", "V", x[0].tolist(), ["ID"], 10, "ID < 0")
+    assert res == []
+    # Single-match filter still returns exactly that row.
+    code, res = vdb.query("t3", "V", x[0].tolist(), ["ID"], 10, "ID = 700")
+    assert [r["ID"] for r in res] == [700]

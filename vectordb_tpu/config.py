@@ -159,6 +159,11 @@ class Config:
                 if not (0 <= v <= 4096):
                     return False, False
                 self.shard_count = v
+            if "QueryBatchWindowMs" in cfg:
+                v = float(cfg["QueryBatchWindowMs"])
+                if not (0.0 <= v <= 1000.0):
+                    return False, False
+                self.query_batch_window_ms = v
             if "IvfKnnThreshold" in cfg:
                 v = int(cfg["IvfKnnThreshold"])
                 if not (10_000 <= v <= 1_000_000_000):
@@ -188,6 +193,7 @@ class Config:
             "BeamTermWidth": self.beam_term_width,
             "ShardCount": self.shard_count,
             "IvfKnnThreshold": self.ivf_knn_threshold,
+            "QueryBatchWindowMs": self.query_batch_window_ms,
         }
 
 
