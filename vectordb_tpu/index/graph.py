@@ -287,6 +287,24 @@ class GraphIndex:
             self._adjacency_dev = jnp.asarray(self.adjacency_host)
         return self._adjacency_dev
 
+    def adjacency_traversal(self, r_used: int):
+        """Device adjacency truncated to the first r_used columns (forward
+        edges sort first; trimming part of the reverse slack cuts gathered
+        rows per expansion — row gathers are the traversal cost). Cached
+        per width."""
+        r_total = self.adjacency_host.shape[1]
+        if r_used <= 0 or r_used >= r_total:
+            return self.adjacency
+        cache = getattr(self, "_adj_trav_cache", None)
+        if cache is None:
+            cache = self._adj_trav_cache = {}
+        hit = cache.get(r_used)
+        if hit is None:
+            hit = jnp.asarray(
+                np.ascontiguousarray(self.adjacency_host[:, :r_used]))
+            cache[r_used] = hit
+        return hit
+
     @property
     def rep_ids(self):
         if self._rep_ids_dev is None:

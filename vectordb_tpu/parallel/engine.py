@@ -581,6 +581,7 @@ class ShardedDenseField:
             d, ids = sharded_flat_query(
                 q, st.buf, st.norms, mask_dev, mesh=self.mesh,
                 metric=int(metric), k=int(k))
-        ids = np.asarray(ids).astype(np.int64)
-        ids[~np.isfinite(np.asarray(d))] = -1
-        return ids
+        d_h, ids_h = jax.device_get((d, ids))  # one round trip
+        ids_h = ids_h.astype(np.int64)
+        ids_h[~np.isfinite(d_h)] = -1
+        return ids_h

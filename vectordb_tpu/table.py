@@ -423,13 +423,16 @@ class Table:
                           dtype=np.float32)
             qp[:, : queries.shape[1]] = queries
             bw = max(self.config.search_ef, k_out)
+            adj = graph.adjacency_traversal(self.config.beam_traversal_degree)
             d_dev, ids_dev = beam_ops.beam_search_topk(
-                jnp.asarray(qp), graph.table, graph.norms, graph.adjacency,
+                jnp.asarray(qp), graph.table, graph.norms, adj,
                 graph.rep_ids, dm, int(metric), int(bw),
                 int(self.config.beam_expand), int(bw), 32,
-                int(max(self.config.beam_term_width, k_out)), int(k_out))
-            cand_ids = np.asarray(ids_dev).astype(np.int64)
-            cand_ids[~np.isfinite(np.asarray(d_dev))] = -1
+                int(max(self.config.beam_term_width, k_eff)), int(k_out))
+            import jax
+            d_h, ids_h = jax.device_get((d_dev, ids_dev))  # ONE round trip
+            cand_ids = ids_h.astype(np.int64)
+            cand_ids[~np.isfinite(d_h)] = -1
             # Brute-force tail over rows inserted after the graph was built.
             tail_start = graph.num_rows
             if n > tail_start:
@@ -578,8 +581,9 @@ class Table:
             jnp.asarray(qp), store.buf,
             store.norms if metric == MetricType.EUCLIDEAN else None,
             dm, metric, min(k, store.capacity))
-        d = np.asarray(d)
-        ids = np.asarray(ids).astype(np.int64)
+        import jax
+        d, ids = jax.device_get((d, ids))  # one round trip, not two
+        ids = ids.astype(np.int64)
         ids[~np.isfinite(d)] = -1
         return ids, d.astype(np.float64)
 
