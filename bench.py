@@ -120,6 +120,9 @@ def main():
     valid = seg.valid_mask()
 
     def run_all(collect_ids=False):
+        # Synchronous per batch: dispatch-ahead pipelining was measured
+        # SLOWER through the tunneled relay (the d2h fetch of batch i
+        # queues behind the kernel of batch i+1: p50 144 -> 180 ms).
         out = [] if collect_ids else None
         lat = []
         for s in range(0, n_queries, batch):

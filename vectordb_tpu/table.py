@@ -373,8 +373,22 @@ class Table:
         Dispatch (reference Search, vec_search_executor.cpp:833-935):
         graph beam search over indexed rows + flat tail over the rest when a
         graph exists and n >= brute_force_threshold; otherwise fused flat
-        scan over everything.
+        scan over everything. Implemented as dispatch + collect so callers
+        that stream batches can PIPELINE: dispatch batch i+1 before
+        collecting batch i (the device kernel then overlaps the host
+        fetch/re-rank of the previous batch).
         """
+        return self.collect_dense_search(self.dispatch_dense_search(
+            field_name, queries, valid, metric, k,
+            mask_cacheable=mask_cacheable, filter_ctx=filter_ctx))
+
+    def dispatch_dense_search(self, field_name: str, queries: np.ndarray,
+                              valid: np.ndarray, metric: MetricType,
+                              k: int, mask_cacheable: bool = False,
+                              filter_ctx: Optional["_FilterCtx"] = None):
+        """Stage 1: pad the batch and launch the device kernel(s); device
+        work proceeds asynchronously. Returns an opaque handle for
+        collect_dense_search()."""
         seg = self.segment
         n = seg.record_number
         graph = self.graphs.get(field_name)
@@ -390,20 +404,27 @@ class Table:
                                           (b_pad - b_real,
                                            queries.shape[1]))], axis=0)
 
+        h = {"field": field_name, "queries": queries, "valid": valid,
+             "metric": metric, "k_eff": k_eff, "b_real": b_real, "n": n,
+             "n_alive": n_alive, "mask_cacheable": mask_cacheable,
+             "filter_ctx": filter_ctx, "mode": "flat"}
+
         sharded = getattr(self, "sharded_fields", {}).get(field_name)
         if sharded is not None:
             if filter_ctx is not None:
                 # Sharded plane keeps the host mask path (its masks are
                 # per-shard); fold the filter into `valid` here.
                 valid = valid & filter_ctx.compiler.mask(n_rows=n)
-                n_alive = int(np.count_nonzero(valid))
-                k_eff = min(k, max(n_alive, 1))
-                mask_cacheable = False
-            cand_ids = self._sharded_candidates(
+                h["valid"] = valid
+                h["n_alive"] = n_alive = int(np.count_nonzero(valid))
+                h["k_eff"] = k_eff = min(k, max(n_alive, 1))
+                h["mask_cacheable"] = mask_cacheable = False
+                h["filter_ctx"] = None
+            h["mode"] = "sharded"
+            h["cand_ids"] = self._sharded_candidates(
                 sharded, field_name, queries, valid, metric, k_eff, n,
                 n_alive, mask_cacheable)
-            return self._rerank_candidates(field_name, queries, cand_ids,
-                                           metric, k_eff, b_real)
+            return h
 
         use_graph = (graph is not None
                      and n >= self.config.brute_force_threshold
@@ -429,12 +450,29 @@ class Table:
                 graph.rep_ids, dm, int(metric), int(bw),
                 int(self.config.beam_expand), int(bw), 32,
                 int(max(self.config.beam_term_width, k_eff)), int(k_out))
+            h["mode"] = "graph"
+            h["dev"] = (d_dev, ids_dev)
+            h["graph_rows"] = graph.num_rows
+        return h
+
+    def collect_dense_search(self, h) -> Tuple[np.ndarray, np.ndarray]:
+        """Stage 2: fetch the dispatched results, merge the flat tail /
+        selective-filter top-up, exact-re-rank on the host mirror."""
+        field_name, queries = h["field"], h["queries"]
+        valid, metric = h["valid"], h["metric"]
+        k_eff, b_real, n, n_alive = (h["k_eff"], h["b_real"], h["n"],
+                                     h["n_alive"])
+        mask_cacheable, filter_ctx = h["mask_cacheable"], h["filter_ctx"]
+
+        if h["mode"] == "sharded":
+            cand_ids = h["cand_ids"]
+        elif h["mode"] == "graph":
             import jax
-            d_h, ids_h = jax.device_get((d_dev, ids_dev))  # ONE round trip
+            d_h, ids_h = jax.device_get(h["dev"])  # ONE round trip
             cand_ids = ids_h.astype(np.int64)
             cand_ids[~np.isfinite(d_h)] = -1
-            # Brute-force tail over rows inserted after the graph was built.
-            tail_start = graph.num_rows
+            # Brute-force tail over rows inserted after the graph build.
+            tail_start = h["graph_rows"]
             if n > tail_start:
                 t_ids, _ = self._flat_candidates(
                     field_name, queries, valid, metric,
