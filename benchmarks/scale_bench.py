@@ -1,0 +1,152 @@
+"""Large-scale single-chip benchmark: build + query at millions of rows.
+
+Drives the same engine path as /root/repo/bench.py but parameterized for
+scale sweeps (BASELINE north star: Deep10M-shaped 10M x 96-d). Untimed
+ground truth is computed on host in blocks; QPS is the median of N_TIMED
+timed passes; recall is scored outside the timed region.
+
+Env:
+  SCALE_N    rows            (default 4_000_000)
+  SCALE_DIM  dimensions      (default 96 — Deep10M shape)
+  SCALE_NQ   queries         (default 1024)
+  SCALE_OUT  append JSON line to this file (default benchmarks/scale_results.jsonl)
+
+Prints one JSON line to stdout; diagnostics to stderr.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_TIMED = 3
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import vectordb_tpu  # noqa: F401
+    from vectordb_tpu.config import global_config
+    from vectordb_tpu.index.graph import GraphIndex
+    from vectordb_tpu.schema import (FieldSchema, FieldType, MetricType,
+                                     TableSchema)
+    from vectordb_tpu.segment import TableSegment
+    from vectordb_tpu.table import Table
+
+    n = int(os.environ.get("SCALE_N", 4_000_000))
+    dim = int(os.environ.get("SCALE_DIM", 96))
+    n_queries = int(os.environ.get("SCALE_NQ", 1024))
+    k, batch = 10, 2048
+
+    t0 = time.time()
+    rng = np.random.default_rng(0)
+    centers = (rng.normal(size=(3000, dim)) * 2).astype(np.float32)
+    x = np.empty((n, dim), dtype=np.float32)
+    for s in range(0, n, 1_000_000):
+        e = min(s + 1_000_000, n)
+        x[s:e] = (centers[rng.integers(0, 3000, e - s)]
+                  + rng.normal(size=(e - s, dim)).astype(np.float32))
+    queries = (x[rng.integers(0, n, n_queries)]
+               + 0.1 * rng.normal(size=(n_queries, dim)).astype(np.float32))
+    log(f"data gen {n}x{dim}: {time.time() - t0:.1f}s")
+
+    schema = TableSchema(id=0, name="scale", fields=[
+        FieldSchema(id=0, name="ID", is_primary_key=True,
+                    field_type=FieldType.INT4),
+        FieldSchema(id=1, name="V", field_type=FieldType.VECTOR_FLOAT,
+                    vector_dimension=dim, metric_type=MetricType.EUCLIDEAN)])
+    seg = TableSegment(schema, n)
+    seg.record_number = n
+    seg.dense_host["V"][:n] = x
+    seg.dense_norms["V"][:n] = (x.astype(np.float32) ** 2).sum(1)
+
+    t0 = time.time()
+    graph = GraphIndex.build(seg, "V", MetricType.EUCLIDEAN)
+    build_s = time.time() - t0
+    log(f"graph build {n}x{dim}: {build_s:.1f}s")
+
+    # Exact ground truth, blocked on host (untimed; single-core BLAS).
+    t0 = time.time()
+    gt = np.empty((n_queries, k), dtype=np.int64)
+    xn = seg.dense_norms["V"][:n]
+    gt_block = 64
+    for s in range(0, n_queries, gt_block):
+        q = queries[s:s + gt_block]
+        d = (q ** 2).sum(1)[:, None] - 2.0 * (q @ x.T) + xn[None, :]
+        part = np.argpartition(d, k, axis=1)[:, :k]
+        row_d = np.take_along_axis(d, part, axis=1)
+        gt[s:s + gt_block] = np.take_along_axis(
+            part, np.argsort(row_d, axis=1), axis=1)
+    log(f"ground truth: {time.time() - t0:.1f}s")
+
+    class _Shim(Table):
+        def __init__(self):
+            self.segment = seg
+            self.graphs = {"V": graph}
+            self.sharded_fields = {}
+            self.config = global_config
+            self.metric_map = {"V": MetricType.EUCLIDEAN}
+            self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
+
+    table = _Shim()
+    valid = seg.valid_mask()
+
+    def run_all(collect_ids=False):
+        out = [] if collect_ids else None
+        lat = []
+        for s in range(0, n_queries, batch):
+            t_b = time.perf_counter()
+            ids, _ = table.batch_dense_search(
+                "V", queries[s:s + batch], valid, MetricType.EUCLIDEAN, k)
+            lat.append(time.perf_counter() - t_b)
+            if collect_ids:
+                out.append(ids[:, :k])
+        return out, lat
+
+    ids_all, _ = run_all(collect_ids=True)  # warmup + recall, untimed
+    hits = 0
+    for bi, s in enumerate(range(0, n_queries, batch)):
+        ids = ids_all[bi]
+        for i in range(ids.shape[0]):
+            hits += len(set(ids[i].tolist()) & set(gt[s + i].tolist()))
+    recall = hits / (n_queries * k)
+
+    qps_runs, lats = [], []
+    for _ in range(N_TIMED):
+        t0 = time.time()
+        _, lat = run_all()
+        qps_runs.append(n_queries / (time.time() - t0))
+        lats.extend(lat)
+    qps = float(np.median(qps_runs))
+    p50_ms = float(np.percentile(lats, 50) * 1e3)
+    p99_ms = float(np.percentile(lats, 99) * 1e3)
+    log(f"engine: {qps:.0f} qps (runs {[round(r) for r in qps_runs]}) at "
+        f"recall@10={recall:.4f}; batch p50 {p50_ms:.1f} ms")
+
+    result = {
+        "metric": f"scale_qps_{n // 1000}k_{dim}d",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "recall_at_10": round(recall, 4),
+        "build_seconds": round(build_s, 1),
+        "batch_p50_ms": round(p50_ms, 1),
+        "batch_p99_ms": round(p99_ms, 1),
+        "qps_runs": [round(r, 1) for r in qps_runs],
+        "n": n, "dim": dim, "n_queries": n_queries,
+    }
+    print(json.dumps(result), flush=True)
+    out_path = os.environ.get(
+        "SCALE_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scale_results.jsonl"))
+    with open(out_path, "a") as f:
+        f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,11 @@ class Config:
         # part of the reverse slack). 48 of 64 cut gathered rows 25% with
         # no recall change in the 500k sweep; 0 = full adjacency.
         self.beam_traversal_degree = 48
+        # Candidate compaction: per traversal iteration, gather at most this
+        # many candidate rows after dropping padding/in-beam/duplicate/
+        # already-visited candidates (0 = gather all expand*degree).
+        # Traversal is row-gather-bound, so this caps its dominant cost.
+        self.beam_compact = 128
         # Write WAL insert entries as the reference's JSON-text lines
         # instead of binary column batches (slower; for interop).
         self.wal_text_format = False
@@ -163,6 +168,11 @@ class Config:
                 if not (0 <= v <= 512):
                     return False, False
                 self.beam_traversal_degree = v
+            if "BeamCompact" in cfg:
+                v = int(cfg["BeamCompact"])
+                if not (0 <= v <= 4096):
+                    return False, False
+                self.beam_compact = v
             if "ShardCount" in cfg:
                 v = int(cfg["ShardCount"])
                 if not (0 <= v <= 4096):
@@ -201,6 +211,7 @@ class Config:
             "WalTextFormat": self.wal_text_format,
             "BeamTermWidth": self.beam_term_width,
             "BeamTraversalDegree": self.beam_traversal_degree,
+            "BeamCompact": self.beam_compact,
             "ShardCount": self.shard_count,
             "IvfKnnThreshold": self.ivf_knn_threshold,
             "QueryBatchWindowMs": self.query_batch_window_ms,

@@ -361,7 +361,10 @@ class GraphIndex:
                 d_h = np.pad(d_h, ((0, pad_n - n), (0, 0)),
                              constant_values=np.inf)
             knn_ids = jnp.asarray(ids_h)
-            knn_d = jnp.asarray(d_h)
+            # knn_d is only read by the KNN-only prune path; at this scale
+            # it is an [N, K] f32 device array (2.5 GB at 10M) — skip the
+            # upload when the search-pools path won't touch it.
+            knn_d = None if search_pools else jnp.asarray(d_h)
         else:
             knn_ids, knn_d = exact_knn(store.buf, store.norms, n, knn_k,
                                        metric)

@@ -53,11 +53,11 @@ def _cand_scores(q, vecs, q_norms, metric: int):
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "beam_width", "expand", "max_iters",
-                     "num_seeds", "term_width"))
+                     "num_seeds", "term_width", "compact"))
 def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
                        metric: int, beam_width: int, expand: int,
                        max_iters: int, num_seeds: int = 32,
-                       term_width: int = 0):
+                       term_width: int = 0, compact: int = 0):
     """One jitted program: seed-scan -> while(!converged) expand -> beam.
 
     queries:   [B, D]  f32 (already padded to the table's lane width)
@@ -83,6 +83,7 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
     M = expand
     R = adjacency.shape[1]
     C = M * R
+    Cp = compact if compact > 0 else C
     q = queries.astype(table.dtype)
     q_norms = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1)
 
@@ -151,23 +152,40 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         cand = jnp.where(
             jnp.repeat(picked_valid, R, axis=1), cand, -1)
 
-        # invalid: padding edges, already in beam, duplicate in candidates
+        # invalid: padding edges, already in beam, duplicate in candidates,
+        # already expanded earlier (visited history) — the last stops rows
+        # that fell off the beam from being re-gathered and re-expanded.
         in_beam = jnp.any(cand[:, :, None] == beam_ids[:, None, :], axis=2)
         first_pos = jnp.argmax(cand[:, :, None] == cand[:, None, :], axis=2)
         dup = first_pos != jax.lax.broadcasted_iota(jnp.int32, (b, C), 1)
-        bad = (cand < 0) | in_beam | dup
+        seen = jnp.any(cand[:, :, None] == visited[:, None, :], axis=2)
+        bad = (cand < 0) | in_beam | dup | seen
+
+        cand = jnp.where(bad, -1, cand)
+        if 0 < Cp < C:
+            # Compaction: traversal cost is the row gather, so sort the
+            # surviving candidates to the front and gather only Cp rows.
+            # Overflow (> Cp good candidates in one iteration) drops the
+            # excess — rare at steady state since R-degree expansions
+            # mostly rediscover beam/visited rows.
+            key = (cand < 0).astype(jnp.int32)
+            _, cand = jax.lax.sort((key, cand), dimension=1, num_keys=1)
+            cand = cand[:, :Cp]
+        bad2 = cand < 0
 
         safe_cand = jnp.clip(cand, 0, table.shape[0] - 1)
-        vecs = jnp.take(table, safe_cand.reshape(-1), axis=0).reshape(b, C, d)
+        vecs = jnp.take(table, safe_cand.reshape(-1),
+                        axis=0).reshape(b, cand.shape[1], d)
         cand_d = _cand_scores(q, vecs, q_norms, metric)
-        cand_d = jnp.where(bad, jnp.inf, cand_d)
-        cand_ids = jnp.where(bad, -1, cand)
+        cand_d = jnp.where(bad2, jnp.inf, cand_d)
+        cand_ids = cand
 
         # -- merge + keep best L ---------------------------------------
         all_d = jnp.concatenate([beam_d, cand_d], axis=1)
         all_ids = jnp.concatenate([beam_ids, cand_ids], axis=1)
         all_exp = jnp.concatenate(
-            [beam_exp, jnp.zeros((b, C), dtype=jnp.bool_)], axis=1)
+            [beam_exp, jnp.zeros((b, cand_ids.shape[1]), dtype=jnp.bool_)],
+            axis=1)
         sd, sids, sexp = jax.lax.sort((all_d, all_ids, all_exp),
                                       dimension=1, num_keys=1)
         return (sids[:, :L], sexp[:, :L], sd[:, :L], visited, it + 1)
@@ -181,11 +199,11 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "beam_width", "expand", "max_iters",
-                     "num_seeds", "term_width", "k_out"))
+                     "num_seeds", "term_width", "k_out", "compact"))
 def beam_search_topk(queries, table, norms, adjacency, rep_ids, valid,
                      metric: int, beam_width: int, expand: int,
                      max_iters: int, num_seeds: int, term_width: int,
-                     k_out: int):
+                     k_out: int, compact: int = 0):
     """Query-path variant: full beam search + ON-DEVICE mask-aware result
     selection. `valid` is an [N_pad] bool device mask (aliveness, and —
     when the filter compiled to a device mask — the pushed-down filter).
@@ -202,7 +220,7 @@ def beam_search_topk(queries, table, norms, adjacency, rep_ids, valid,
     fetch to [B, k_out]."""
     beam_d, beam_ids, _ = beam_search_kernel(
         queries, table, norms, adjacency, rep_ids, metric, beam_width,
-        expand, max_iters, num_seeds, term_width)
+        expand, max_iters, num_seeds, term_width, compact)
     safe = jnp.clip(beam_ids, 0, valid.shape[0] - 1)
     ok = (beam_ids >= 0) & jnp.take(valid, safe)
     d = jnp.where(ok, beam_d, jnp.inf)

@@ -355,11 +355,12 @@ def sharded_flat_query(queries, buf, norms, mask, *, mesh, metric: int,
     jax.jit,
     static_argnames=("mesh", "metric", "beam_width", "expand", "max_iters",
                      "num_seeds", "term_width", "k", "tail_start",
-                     "has_tail"))
+                     "has_tail", "compact"))
 def sharded_graph_query(queries, buf, norms, adjacency, reps, mask, *,
                         mesh, metric: int, beam_width: int, expand: int,
                         max_iters: int, num_seeds: int, term_width: int,
-                        k: int, tail_start: int, has_tail: bool):
+                        k: int, tail_start: int, has_tail: bool,
+                        compact: int = 0):
     """Per-shard beam search + optional flat tail over post-build slots,
     merged globally. Returns ([B, k] dists, [B, k] GLOBAL ids)."""
     from ..ops.beam import beam_search_kernel
@@ -378,7 +379,7 @@ def sharded_graph_query(queries, buf, norms, adjacency, reps, mask, *,
         c_rows = tab.shape[0]
         d, ids, _ = beam_search_kernel(
             q, tab, nrm, adj, rp, metric, beam_width, expand, max_iters,
-            num_seeds, term_width)
+            num_seeds, term_width, compact)
         safe = jnp.clip(ids, 0, c_rows - 1)
         ok = (ids >= 0) & jnp.take(msk, safe)
         d = jnp.where(ok, d, jnp.inf)
@@ -561,7 +562,8 @@ class ShardedDenseField:
     def search(self, queries_padded: np.ndarray, valid: np.ndarray,
                metric: MetricType, k: int, use_graph: bool,
                beam_width: int, expand: int, term_width: int,
-               mask_version: Optional[int] = None) -> np.ndarray:
+               mask_version: Optional[int] = None,
+               compact: int = 0) -> np.ndarray:
         """[B, Dp] padded queries -> [B, k] global candidate ids (-1 pad)."""
         st = self.store
         mask_dev = self._sharded_mask(valid, mask_version)
@@ -576,7 +578,7 @@ class ShardedDenseField:
                 max_iters=int(beam_width), num_seeds=32,
                 term_width=int(term_width), k=int(k),
                 tail_start=int(g.num_rows // st.n_shards),
-                has_tail=bool(tail))
+                has_tail=bool(tail), compact=int(compact))
         else:
             d, ids = sharded_flat_query(
                 q, st.buf, st.norms, mask_dev, mesh=self.mesh,

@@ -449,7 +449,8 @@ class Table:
                 jnp.asarray(qp), graph.table, graph.norms, adj,
                 graph.rep_ids, dm, int(metric), int(bw),
                 int(self.config.beam_expand), int(bw), 32,
-                int(max(self.config.beam_term_width, k_eff)), int(k_out))
+                int(max(self.config.beam_term_width, k_eff)), int(k_out),
+                int(self.config.beam_compact))
             h["mode"] = "graph"
             h["dev"] = (d_dev, ids_dev)
             h["graph_rows"] = graph.num_rows
@@ -519,7 +520,8 @@ class Table:
         cand_ids = sf.search(qp, valid, metric, k_cand,
                              use_graph=use_graph, beam_width=beam,
                              expand=self.config.beam_expand,
-                             term_width=term, mask_version=ver)
+                             term_width=term, mask_version=ver,
+                             compact=self.config.beam_compact)
         if use_graph:
             per_query_valid = (cand_ids >= 0).sum(axis=1)
             if per_query_valid.min() < min(k_eff, n_alive):
