@@ -56,7 +56,9 @@ class Config:
         # many candidate rows after dropping padding/in-beam/duplicate/
         # already-visited candidates (0 = gather all expand*degree).
         # Traversal is row-gather-bound, so this caps its dominant cost.
-        self.beam_compact = 128
+        # 96 of expand*degree=192 measured best at 500k: 16.3k QPS at
+        # engine recall 0.9997 vs 13.9k at 128 and 13.9k at 0.
+        self.beam_compact = 96
         # Write WAL insert entries as the reference's JSON-text lines
         # instead of binary column batches (slower; for interop).
         self.wal_text_format = False

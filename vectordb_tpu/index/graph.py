@@ -110,10 +110,11 @@ def _build_batch_kernel(start, table, norms, boot_adj, boot_reps, knn_ids,
         table, (start, 0), (batch, table.shape[1])).astype(jnp.float32)
     node_ids = start + jnp.arange(batch, dtype=jnp.int32)
     # Early-terminated search: the pool needs the PATH to the node's
-    # neighborhood, not full convergence.
+    # neighborhood, not full convergence. compact = 0.75 * expand*degree
+    # (the pool stage is gather-bound; see ops/beam.py).
     _, s_ids, s_vis = beam_search_kernel(
         node_vecs, table, norms, boot_adj, boot_reps, metric, search_l, 4,
-        search_iters, term_width=16)
+        search_iters, term_width=16, compact=3 * boot_adj.shape[1])
     knn_b = jax.lax.dynamic_slice(
         knn_ids, (start, 0), (batch, knn_ids.shape[1]))
     pool_ids, pool_d = _pool_kernel(node_ids, node_vecs, s_ids, s_vis,

@@ -271,7 +271,7 @@ def _shard_build_fwd(tab, nrm, local_n, metric: int, knn_k: int,
         node_ids = start + jnp.arange(batch, dtype=jnp.int32)
         _, s_ids, s_vis = beam_search_kernel(
             node_vecs, tab, nrm, boot_adj, reps, metric, search_l, 4,
-            search_iters, term_width=16)
+            search_iters, term_width=16, compact=3 * boot_adj.shape[1])
         knn_b = jax.lax.dynamic_slice(
             knn_ids, (start, 0), (batch, knn_ids.shape[1]))
         pool_ids, pool_d = _pool_kernel(node_ids, node_vecs, s_ids, s_vis,
