@@ -38,21 +38,44 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    import vectordb_tpu  # noqa: F401  (configures the compile cache)
-    from vectordb_tpu.index.graph import GraphIndex
+def make_clustered(n: int, dim: int, n_queries: int, seed: int = 0,
+                   n_centers: int = 3000):
+    """Clustered table + near-duplicate queries (harder for graph search
+    than uniform noise). Rows are generated in 1M blocks to bound the
+    transient numpy allocations at 10M+ scale."""
+    rng = np.random.default_rng(seed)
+    centers = (rng.normal(size=(n_centers, dim)) * 2).astype(np.float32)
+    x = np.empty((n, dim), dtype=np.float32)
+    for s in range(0, n, 1_000_000):
+        e = min(s + 1_000_000, n)
+        x[s:e] = (centers[rng.integers(0, n_centers, e - s)]
+                  + rng.normal(size=(e - s, dim)).astype(np.float32))
+    queries = (x[rng.integers(0, n, n_queries)]
+               + 0.1 * rng.normal(size=(n_queries, dim)).astype(np.float32))
+    return x, queries
+
+
+def blocked_ground_truth(x: np.ndarray, xn: np.ndarray, queries: np.ndarray,
+                         k: int, block: int = 128) -> np.ndarray:
+    """Exact EUCLIDEAN top-k on host, blocked to bound memory (untimed)."""
+    nq = queries.shape[0]
+    gt = np.empty((nq, k), dtype=np.int64)
+    for s in range(0, nq, block):
+        q = queries[s:s + block]
+        d = (q ** 2).sum(1)[:, None] - 2.0 * (q @ x.T) + xn[None, :]
+        part = np.argpartition(d, k, axis=1)[:, :k]
+        row_d = np.take_along_axis(d, part, axis=1)
+        gt[s:s + block] = np.take_along_axis(part, np.argsort(row_d, axis=1),
+                                             axis=1)
+    return gt
+
+
+def make_bench_segment(n: int, dim: int, x: np.ndarray):
+    """Segment pre-filled with x (bypasses record ingest; benchmarks drive
+    the search path, tests cover ingest)."""
     from vectordb_tpu.schema import (FieldSchema, FieldType, MetricType,
                                      TableSchema)
     from vectordb_tpu.segment import TableSegment
-
-    n = int(os.environ.get("BENCH_N", 500_000))
-    dim, k, n_queries, batch = 128, 10, 2048, 2048
-    rng = np.random.default_rng(0)
-    centers = rng.normal(size=(3000, dim)) * 2
-    x = (centers[rng.integers(0, 3000, n)]
-         + rng.normal(size=(n, dim))).astype(np.float32)
-    queries = (x[rng.integers(0, n, n_queries)]
-               + 0.1 * rng.normal(size=(n_queries, dim))).astype(np.float32)
 
     schema = TableSchema(id=0, name="bench", fields=[
         FieldSchema(id=0, name="ID", is_primary_key=True,
@@ -62,7 +85,38 @@ def main():
     seg = TableSegment(schema, n)
     seg.record_number = n
     seg.dense_host["V"][:n] = x
-    seg.dense_norms["V"][:n] = (x ** 2).sum(1)
+    seg.dense_norms["V"][:n] = (x.astype(np.float32) ** 2).sum(1)
+    return seg, schema
+
+
+def make_shim(seg, graph):
+    """A Table driving a pre-built segment+graph directly (no catalog/WAL);
+    exercises the same batch_dense_search path as the full engine."""
+    from vectordb_tpu.config import global_config
+    from vectordb_tpu.schema import FieldType, MetricType
+    from vectordb_tpu.table import Table
+
+    class _Shim(Table):
+        def __init__(self):
+            self.segment = seg
+            self.graphs = {"V": graph}
+            self.sharded_fields = {}
+            self.config = global_config
+            self.metric_map = {"V": MetricType.EUCLIDEAN}
+            self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
+
+    return _Shim()
+
+
+def main():
+    import vectordb_tpu  # noqa: F401  (configures the compile cache)
+    from vectordb_tpu.index.graph import GraphIndex
+    from vectordb_tpu.schema import MetricType
+
+    n = int(os.environ.get("BENCH_N", 500_000))
+    dim, k, n_queries, batch = 128, 10, 2048, 2048
+    x, queries = make_clustered(n, dim, n_queries)
+    seg, schema = make_bench_segment(n, dim, x)
 
     t0 = time.time()
     graph = GraphIndex.build(seg, "V", MetricType.EUCLIDEAN)
@@ -70,15 +124,8 @@ def main():
     log(f"graph build {n}x{dim}: {build_s:.1f}s")
 
     # Exact ground truth (blocked to bound memory) — untimed.
-    gt = np.empty((n_queries, k), dtype=np.int64)
     xn = (x ** 2).sum(1)
-    for s in range(0, n_queries, 128):
-        q = queries[s:s + 128]
-        d = (q ** 2).sum(1)[:, None] - 2.0 * (q @ x.T) + xn[None, :]
-        part = np.argpartition(d, k, axis=1)[:, :k]
-        row_d = np.take_along_axis(d, part, axis=1)
-        gt[s:s + 128] = np.take_along_axis(part, np.argsort(row_d, axis=1),
-                                           axis=1)
+    gt = blocked_ground_truth(x, xn, queries, k)
 
     # Numpy/BLAS brute-force QPS (secondary reference point).
     n_base = 256
@@ -104,19 +151,7 @@ def main():
         log(f"no REF_BASELINE.json ({e}); vs_baseline falls back to numpy")
 
     # Engine path: batched graph search + exact re-rank.
-    from vectordb_tpu.config import global_config
-    from vectordb_tpu.table import Table
-
-    class _Shim(Table):
-        def __init__(self):  # bench drives the segment directly
-            self.segment = seg
-            self.graphs = {"V": graph}
-            self.sharded_fields = {}
-            self.config = global_config
-            self.metric_map = {"V": MetricType.EUCLIDEAN}
-            self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
-
-    table = _Shim()
+    table = make_shim(seg, graph)
     valid = seg.valid_mask()
 
     def run_all(collect_ids=False):
@@ -170,24 +205,10 @@ def main():
     qps_100k, recall_100k = 0.0, 0.0
     if ref_qps and n != 100_000 and n > 100_000:
         m = 100_000
-        seg2 = TableSegment(schema, m)
-        seg2.record_number = m
-        seg2.dense_host["V"][:m] = x[:m]
-        seg2.dense_norms["V"][:m] = (x[:m] ** 2).sum(1)
+        seg2, _ = make_bench_segment(m, dim, x[:m])
         g2 = GraphIndex.build(seg2, "V", MetricType.EUCLIDEAN)
-        gt2 = np.empty((n_queries, k), dtype=np.int64)
-        xn2 = xn[:m]
-        for s in range(0, n_queries, 128):
-            qq = queries[s:s + 128]
-            d = (qq ** 2).sum(1)[:, None] - 2.0 * (qq @ x[:m].T) + xn2[None]
-            part = np.argpartition(d, k, axis=1)[:, :k]
-            row_d = np.take_along_axis(d, part, axis=1)
-            gt2[s:s + 128] = np.take_along_axis(
-                part, np.argsort(row_d, axis=1), axis=1)
-
-        table2 = _Shim()
-        table2.segment = seg2
-        table2.graphs = {"V": g2}
+        gt2 = blocked_ground_truth(x[:m], xn[:m], queries, k)
+        table2 = make_shim(seg2, g2)
         valid2 = seg2.valid_mask()
 
         def run2():

@@ -1,9 +1,10 @@
 """Large-scale single-chip benchmark: build + query at millions of rows.
 
-Drives the same engine path as /root/repo/bench.py but parameterized for
-scale sweeps (BASELINE north star: Deep10M-shaped 10M x 96-d). Untimed
-ground truth is computed on host in blocks; QPS is the median of N_TIMED
-timed passes; recall is scored outside the timed region.
+Drives the same engine path as /root/repo/bench.py (whose harness helpers
+it imports) but parameterized for scale sweeps (BASELINE north star:
+Deep10M-shaped 10M x 96-d). Ground truth is computed on host in blocks
+(untimed); QPS is the median of N_TIMED timed passes; recall is scored
+outside the timed region.
 
 Env:
   SCALE_N    rows            (default 4_000_000)
@@ -22,21 +23,15 @@ import time
 
 import numpy as np
 
-N_TIMED = 3
-
-
-def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import (N_TIMED, blocked_ground_truth, log, make_bench_segment,
+                   make_clustered, make_shim)  # noqa: E402
 
 
 def main():
     import vectordb_tpu  # noqa: F401
-    from vectordb_tpu.config import global_config
     from vectordb_tpu.index.graph import GraphIndex
-    from vectordb_tpu.schema import (FieldSchema, FieldType, MetricType,
-                                     TableSchema)
-    from vectordb_tpu.segment import TableSegment
-    from vectordb_tpu.table import Table
+    from vectordb_tpu.schema import MetricType
 
     n = int(os.environ.get("SCALE_N", 4_000_000))
     dim = int(os.environ.get("SCALE_DIM", 96))
@@ -44,56 +39,21 @@ def main():
     k, batch = 10, 2048
 
     t0 = time.time()
-    rng = np.random.default_rng(0)
-    centers = (rng.normal(size=(3000, dim)) * 2).astype(np.float32)
-    x = np.empty((n, dim), dtype=np.float32)
-    for s in range(0, n, 1_000_000):
-        e = min(s + 1_000_000, n)
-        x[s:e] = (centers[rng.integers(0, 3000, e - s)]
-                  + rng.normal(size=(e - s, dim)).astype(np.float32))
-    queries = (x[rng.integers(0, n, n_queries)]
-               + 0.1 * rng.normal(size=(n_queries, dim)).astype(np.float32))
+    x, queries = make_clustered(n, dim, n_queries)
     log(f"data gen {n}x{dim}: {time.time() - t0:.1f}s")
-
-    schema = TableSchema(id=0, name="scale", fields=[
-        FieldSchema(id=0, name="ID", is_primary_key=True,
-                    field_type=FieldType.INT4),
-        FieldSchema(id=1, name="V", field_type=FieldType.VECTOR_FLOAT,
-                    vector_dimension=dim, metric_type=MetricType.EUCLIDEAN)])
-    seg = TableSegment(schema, n)
-    seg.record_number = n
-    seg.dense_host["V"][:n] = x
-    seg.dense_norms["V"][:n] = (x.astype(np.float32) ** 2).sum(1)
+    seg, _ = make_bench_segment(n, dim, x)
 
     t0 = time.time()
     graph = GraphIndex.build(seg, "V", MetricType.EUCLIDEAN)
     build_s = time.time() - t0
     log(f"graph build {n}x{dim}: {build_s:.1f}s")
 
-    # Exact ground truth, blocked on host (untimed; single-core BLAS).
     t0 = time.time()
-    gt = np.empty((n_queries, k), dtype=np.int64)
-    xn = seg.dense_norms["V"][:n]
-    gt_block = 64
-    for s in range(0, n_queries, gt_block):
-        q = queries[s:s + gt_block]
-        d = (q ** 2).sum(1)[:, None] - 2.0 * (q @ x.T) + xn[None, :]
-        part = np.argpartition(d, k, axis=1)[:, :k]
-        row_d = np.take_along_axis(d, part, axis=1)
-        gt[s:s + gt_block] = np.take_along_axis(
-            part, np.argsort(row_d, axis=1), axis=1)
+    gt = blocked_ground_truth(x, seg.dense_norms["V"][:n], queries, k,
+                              block=64)
     log(f"ground truth: {time.time() - t0:.1f}s")
 
-    class _Shim(Table):
-        def __init__(self):
-            self.segment = seg
-            self.graphs = {"V": graph}
-            self.sharded_fields = {}
-            self.config = global_config
-            self.metric_map = {"V": MetricType.EUCLIDEAN}
-            self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
-
-    table = _Shim()
+    table = make_shim(seg, graph)
     valid = seg.valid_mask()
 
     def run_all(collect_ids=False):

@@ -131,7 +131,7 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         has_work = jnp.any(~beam_exp[:, :tw] & jnp.isfinite(beam_d[:, :tw]))
         return jnp.logical_and(it < max_iters, has_work)
 
-    def body(state):
+    def body(state, cp=Cp):
         beam_ids, beam_exp, beam_d, visited, it = state
         # -- pick the M best unexpanded entries ------------------------
         pick_score = jnp.where(beam_exp | ~jnp.isfinite(beam_d),
@@ -162,15 +162,19 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         bad = (cand < 0) | in_beam | dup | seen
 
         cand = jnp.where(bad, -1, cand)
-        if 0 < Cp < C:
-            # Compaction: traversal cost is the row gather, so sort the
-            # surviving candidates to the front and gather only Cp rows.
-            # Overflow (> Cp good candidates in one iteration) drops the
-            # excess — rare at steady state since R-degree expansions
-            # mostly rediscover beam/visited rows.
+        if 0 < cp < C:
+            # Compaction: traversal cost is the row gather, so move the
+            # surviving candidates to the front (STABLE: survivors keep
+            # pick-major/edge-minor order, so when > cp survive, the
+            # best-ranked picks' neighborhoods win) and gather only cp
+            # rows. The first iteration runs UNcompacted (peeled below):
+            # there every seed's edges are fresh and truncation would
+            # systematically drop the lower-ranked seeds' neighborhoods
+            # while still marking them expanded.
             key = (cand < 0).astype(jnp.int32)
-            _, cand = jax.lax.sort((key, cand), dimension=1, num_keys=1)
-            cand = cand[:, :Cp]
+            _, cand = jax.lax.sort((key, cand), dimension=1, num_keys=1,
+                                   is_stable=True)
+            cand = cand[:, :cp]
         bad2 = cand < 0
 
         safe_cand = jnp.clip(cand, 0, table.shape[0] - 1)
@@ -191,6 +195,9 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         return (sids[:, :L], sexp[:, :L], sd[:, :L], visited, it + 1)
 
     state = (beam_ids, beam_exp, beam_d, visited, jnp.int32(0))
+    if 0 < Cp < C:
+        # Peel iteration 0 without compaction (see comment in body).
+        state = body(state, cp=0)
     beam_ids, beam_exp, beam_d, visited, _ = jax.lax.while_loop(
         cond, body, state)
     return beam_d, beam_ids, visited
@@ -234,7 +241,7 @@ def beam_search(graph, queries: np.ndarray, valid: np.ndarray,
                 metric: MetricType, beam_width: int = 128,
                 expand: int = DEFAULT_EXPAND,
                 max_iters: int = 0, num_seeds: int = 32,
-                term_width: int = 0) -> np.ndarray:
+                term_width: int = 0, compact: int = 0) -> np.ndarray:
     """Search `graph` (a GraphIndex) for a [B, D] query batch.
 
     Returns candidate ids [B, beam_width] int32 (unfiltered, may contain -1
@@ -250,7 +257,7 @@ def beam_search(graph, queries: np.ndarray, valid: np.ndarray,
     d, ids, _ = beam_search_kernel(
         jnp.asarray(qp), graph.table, graph.norms, graph.adjacency,
         graph.rep_ids, int(metric), int(beam_width), int(expand),
-        int(max_iters), num_seeds, int(term_width))
+        int(max_iters), num_seeds, int(term_width), int(compact))
     ids = np.asarray(ids).astype(np.int64)
     ids[~np.isfinite(np.asarray(d))] = -1
     return ids

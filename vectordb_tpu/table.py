@@ -517,11 +517,19 @@ class Table:
         ver = seg.mutation_version if mask_cacheable else None
         beam = max(self.config.search_ef, k_eff + GRAPH_SLACK)
         term = max(self.config.beam_term_width, k_eff + GRAPH_SLACK)
+        # BeamCompact is tuned against the single-chip traversal width
+        # (expand * beam_traversal_degree); the sharded plane traverses its
+        # FULL adjacency, so scale the cut to the same ratio.
+        r_single = self.config.beam_traversal_degree or 48
+        compact = self.config.beam_compact
+        if compact and sf.graph is not None:
+            r_shard = sf.graph.adjacency_host.shape[2]
+            compact = compact * r_shard // max(r_single, 1)
         cand_ids = sf.search(qp, valid, metric, k_cand,
                              use_graph=use_graph, beam_width=beam,
                              expand=self.config.beam_expand,
                              term_width=term, mask_version=ver,
-                             compact=self.config.beam_compact)
+                             compact=compact)
         if use_graph:
             per_query_valid = (cand_ids >= 0).sum(axis=1)
             if per_query_valid.min() < min(k_eff, n_alive):
