@@ -157,3 +157,38 @@ def test_sharded_graph_persistence(tmp_path):
     for qi in [3, 700, 1499]:
         code, res = vdb.query("t", "V", x[qi].tolist(), ["ID"], 5, "", True)
         assert res[0]["ID"] == qi
+
+
+def test_mask_cache_not_poisoned_by_stale_valid_snapshot(tmp_path):
+    """Race regression: a query thread snapshots valid_mask(), a writer
+    then inserts rows (bumping mutation_version), and the query builds the
+    cacheable device mask. The cache entry is keyed by the NEW version, so
+    it must not be built from the STALE snapshot — that would hide the new
+    rows from every later query at that version (observed as intermittent
+    self-query misses in test_sharded_concurrent_insert_query)."""
+    from vectordb_tpu.schema import MetricType
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1200, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x[:1000])
+    vdb.rebuild()
+    tbl = vdb._db.databases["sdb"].tables["t"]
+    seg = tbl.segment
+
+    stale_valid = seg.valid_mask().copy()   # snapshot BEFORE the insert
+    _insert("t", x[1000:], start=1000)      # bumps mutation_version
+
+    # Sharded path with the stale snapshot + cacheable mask: the freshly
+    # inserted row must still be visible (tail scan over synced store).
+    ids, _ = tbl.batch_dense_search("V", x[1100:1101], stale_valid,
+                                    MetricType.EUCLIDEAN, 5,
+                                    mask_cacheable=True)
+    assert 1100 in ids[0].tolist()
+    # And the cached mask itself must cover all current rows.
+    sf = tbl.sharded_fields["V"]
+    ver, dm = sf._mask_cache
+    mask = np.asarray(dm)
+    s, cap = sf.store.n_shards, sf.store.cap_s
+    for r in (1000, 1100, 1199):
+        assert mask[r % s, r // s], r

@@ -44,13 +44,21 @@ DEFAULT_ALPHA = 1.2
 PRUNE_BATCH = 2048
 # Coarse entry-point cover: every search seeds from its top representatives
 # (one small MXU block), so navigation never depends on a single entry
-# point's basin. Cover size scales with the table, capped for VMEM.
+# point's basin. Cover size scales with the table; the cap trades the
+# [B, S] rep-scan block + top_k against navigation quality. Truncating the
+# cover collapses recall on clustered data (measured: 16384 -> 1024 reps
+# at 500k drops recall@10 from 0.993 to 0.29 with no speedup), and 10M
+# rows at the old 16384 cap (1 rep per 610 rows) lost ~1.5 recall points,
+# so the cap grows with the table up to 49152.
 MIN_REPS = 1024
-MAX_REPS = 16384
+MID_REPS = 16384          # n/16 cap up to ~2.6M rows (measured regime)
+MAX_REPS = 49152
 
 
 def _make_rep_ids(n: int, nav: int) -> np.ndarray:
-    s = int(min(MAX_REPS, max(MIN_REPS, n // 16)))
+    s = int(min(MID_REPS, max(MIN_REPS, n // 16)))
+    if n > MID_REPS * 16:  # grow as sqrt(N) past the measured regime
+        s = int(min(MAX_REPS, MID_REPS * (n / (MID_REPS * 16)) ** 0.5))
     s = min(s, n)
     rng = np.random.default_rng(0)  # deterministic cover
     reps = rng.choice(n, size=s, replace=False).astype(np.int32)

@@ -514,7 +514,14 @@ class Table:
                      and n >= self.config.brute_force_threshold
                      and not self.config.pre_filter)
         k_cand = min(k_eff + GRAPH_SLACK, max(n_alive, 1))
-        ver = seg.mutation_version if mask_cacheable else None
+        ver = None
+        if mask_cacheable:
+            # Version FIRST, then a fresh validity snapshot: caching the
+            # caller's (possibly pre-concurrent-insert) mask under the
+            # current version key would hide the new rows from every later
+            # query at this version (see _device_mask).
+            ver = seg.mutation_version
+            valid = seg.valid_mask()
         beam = max(self.config.search_ef, k_eff + GRAPH_SLACK)
         term = max(self.config.beam_term_width, k_eff + GRAPH_SLACK)
         # BeamCompact is tuned against the single-chip traversal width
@@ -589,6 +596,13 @@ class Table:
             hit = cache.get(key)
             if hit is not None and hit[0] == ver:
                 return hit[1]
+            # Re-snapshot AFTER reading the version: the caller's `valid`
+            # may predate a concurrent insert that already bumped the
+            # version, and caching that stale mask under the new key would
+            # hide the new rows from every later query at this version.
+            # A mask *fresher* than its key is safe (rows are fully
+            # written before mutation_version increments); staler is not.
+            valid = self.segment.valid_mask()
         mask = np.zeros(store.capacity, dtype=bool)
         mask[row_start:len(valid)] = valid[row_start:]
         dm = jnp.asarray(mask)
