@@ -1,0 +1,258 @@
+"""Reference-engine (EpsillaDB C++) on-disk artifact import.
+
+A database directory written by the reference engine is a complete,
+loadable input to this engine:
+
+  - ``catalog``  — same JSON schema format (catalog.py already reads it);
+  - ``<table_id>/wal/*.log`` — same text WAL line format (wal.py replays it);
+  - ``<table_id>/data_mvp.bin`` — the reference's binary segment snapshot,
+    parsed HERE (writer: /root/reference/engine/db/table_segment_mvp.cpp:
+    939-1010, reader: 133-295);
+  - ``<table_id>/ann_graph_<field_id>.bin`` — the reference's CSR ANN
+    graph, parsed HERE into this engine's fixed-degree padded adjacency
+    (writer: /root/reference/engine/db/ann_graph_segment.cpp:156-199).
+
+So ``load_db`` pointed at a reference data directory migrates in place:
+Table loads data_mvp.bin when this engine's own snapshot (data.vdb) is
+absent, replays any newer WAL entries on top, and imports the CSR graph
+when the npz graph is absent. Nothing is written back in reference format
+(this engine persists its own snapshot/graph artifacts on the next
+dump/rebuild, leaving the reference files untouched).
+
+Binary layout of data_mvp.bin (all little-endian, no alignment padding):
+
+  uint64  record_number
+  int64   first_record_id
+  int64   bitset_size;  uint8[bitset_size] deleted-bitmap, LSB-first per
+          byte (concurrent_bitset.cpp:9-15: bit = byte[r>>3] >> (r&7))
+  byte[record_number * primitive_offset] packed attribute rows — primitive
+          fields in schema order at accumulated offsets of FieldTypeSizeMVP
+          (table_segment_mvp.cpp:15-50): INT1/BOOL=1, INT2=2, INT4/FLOAT=4,
+          INT8/DOUBLE=8, GEO_POINT=16 (two f64: lat, lon)
+  per record x per var-len field (STRING/JSON/SPARSE_*, schema order):
+          int64 byte_len + payload; sparse payload = byte_len/16 elements
+          of {uint64 index; float32 value; 4 pad bytes} (sizeof
+          SparseVectorElement with size_t alignment, vector.hpp:13-16)
+  per dense vector field (schema order): float32[record_number * dim]
+          (VECTOR_DOUBLE is also stored as float32 — vector_tables_ is
+          float*, table_segment_mvp.cpp:989-991)
+  int64   wal_global_id
+
+Graph file layout (ann_graph_<field_id>.bin):
+
+  uint64 record_number; int64 first_record_id;
+  int64[record_number + 1] CSR offsets; int64[total_edges] neighbors;
+  int64 navigation_point
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .errors import DB_UNEXPECTED_ERROR, Status, VectorDBError
+from .logger import logger
+from .ops.sparse import SparseVector
+from .schema import (DENSE_VECTOR_TYPES, INT_TYPES, SPARSE_VECTOR_TYPES,
+                     FieldType, TableSchema)
+
+# FieldTypeSizeMVP (table_segment_mvp.cpp:15-50) for the packed attribute
+# row; var-len and dense fields do not live in the attribute table.
+_PRIMITIVE_SIZES = {
+    FieldType.INT1: 1,
+    FieldType.INT2: 2,
+    FieldType.INT4: 4,
+    FieldType.INT8: 8,
+    FieldType.FLOAT: 4,
+    FieldType.DOUBLE: 8,
+    FieldType.BOOL: 1,
+    FieldType.GEO_POINT: 16,
+}
+
+_PRIMITIVE_NP = {
+    FieldType.INT1: np.int8,
+    FieldType.INT2: np.int16,
+    FieldType.INT4: np.int32,
+    FieldType.INT8: np.int64,
+    FieldType.FLOAT: np.float32,
+    FieldType.DOUBLE: np.float64,
+    FieldType.BOOL: np.int8,  # stored as one byte; nonzero = True
+}
+
+_SPARSE_ELEM = np.dtype([("index", "<u8"), ("value", "<f4"), ("pad", "V4")])
+
+VAR_LEN_TYPES = (FieldType.STRING, FieldType.JSON) + SPARSE_VECTOR_TYPES
+
+
+def _classify(schema: TableSchema):
+    """Replicates TableSegmentMVP::Init's layout walk
+    (table_segment_mvp.cpp:52-100): primitive offsets, var-len field order,
+    dense field order — all in schema field order."""
+    prim: List[Tuple[object, int]] = []  # (field, offset)
+    var_len: List[object] = []
+    dense: List[object] = []
+    offset = 0
+    for f in schema.fields:
+        ft = f.field_type
+        if ft in VAR_LEN_TYPES:
+            var_len.append(f)
+        elif ft in DENSE_VECTOR_TYPES:
+            dense.append(f)
+        else:
+            prim.append((f, offset))
+            offset += _PRIMITIVE_SIZES[ft]
+    return prim, var_len, dense, offset
+
+
+def reference_segment_path(db_path: str, table_id: int) -> str:
+    return os.path.join(db_path, str(table_id), "data_mvp.bin")
+
+
+def reference_graph_path(db_path: str, table_id: int, field_id: int) -> str:
+    return os.path.join(db_path, str(table_id), f"ann_graph_{field_id}.bin")
+
+
+def load_reference_segment(path: str, schema: TableSchema, segment) -> None:
+    """Populate an empty TableSegment from a reference data_mvp.bin."""
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+
+    def take(fmt: str):
+        nonlocal off
+        vals = struct.unpack_from(fmt, data, off)
+        off += struct.calcsize(fmt)
+        return vals[0] if len(vals) == 1 else vals
+
+    n = take("<Q")
+    first_record_id = take("<q")
+    if n > segment.size_limit:
+        raise VectorDBError(
+            DB_UNEXPECTED_ERROR,
+            f"The table contains {n} records, which is larger than provided "
+            f"vector scale {segment.size_limit}")
+    bitset_size = take("<q")
+    bitset = np.frombuffer(data, dtype=np.uint8, count=bitset_size,
+                           offset=off)
+    off += bitset_size
+    deleted = np.unpackbits(bitset, bitorder="little")[:n].astype(bool)
+    if len(deleted) < n:  # snapshot bitmap shorter than row count
+        deleted = np.pad(deleted, (0, n - len(deleted)))
+
+    prim, var_len, dense, stride = _classify(schema)
+
+    # Packed attribute rows -> per-column numpy views.
+    attr = np.frombuffer(data, dtype=np.uint8, count=n * stride,
+                         offset=off).reshape(n, stride) if stride else None
+    off += n * stride
+    for f, col_off in prim:
+        ft = f.field_type
+        if ft == FieldType.GEO_POINT:
+            raw = np.ascontiguousarray(attr[:, col_off:col_off + 16])
+            pair = raw.view("<f8").reshape(n, 2)
+            segment.geo_cols[f.name][0][:n] = pair[:, 0]
+            segment.geo_cols[f.name][1][:n] = pair[:, 1]
+        else:
+            size = _PRIMITIVE_SIZES[ft]
+            raw = np.ascontiguousarray(attr[:, col_off:col_off + size])
+            vals = raw.view(np.dtype(_PRIMITIVE_NP[ft]).newbyteorder("<"))
+            vals = vals.reshape(n)
+            if ft == FieldType.BOOL:
+                segment.primitive_cols[f.name][:n] = vals != 0
+            else:
+                segment.primitive_cols[f.name][:n] = vals
+
+    # Var-len table: record-major (load loop order matters,
+    # table_segment_mvp.cpp:241-273).
+    for r in range(n):
+        for f in var_len:
+            ln = take("<q")
+            payload = data[off:off + ln]
+            off += ln
+            if f.field_type in SPARSE_VECTOR_TYPES:
+                el = np.frombuffer(payload, dtype=_SPARSE_ELEM)
+                segment.sparse_cols[f.name][r] = SparseVector(
+                    el["index"].astype(np.int64),
+                    el["value"].astype(np.float32))
+            else:
+                segment.varlen_cols[f.name][r] = payload.decode(
+                    "utf-8", errors="replace")
+
+    # Dense vector tables (always float32 on disk).
+    for f in dense:
+        d = f.vector_dimension
+        mat = np.frombuffer(data, dtype="<f4", count=n * d,
+                            offset=off).reshape(n, d)
+        off += n * d * 4
+        segment.dense_host[f.name][:n] = mat
+        segment.dense_norms[f.name][:n] = np.einsum(
+            "nd,nd->n", mat, mat).astype(np.float32)
+
+    wal_global_id = take("<q")
+
+    segment.record_number = int(n)
+    segment.first_record_id = int(first_record_id)
+    segment.wal_global_id = int(wal_global_id)
+    segment.deleted[:n] = deleted
+
+    alive_rows = np.nonzero(~deleted)[0]
+    # PK map + geo index rebuild (reference load ctor, 177-236).
+    if segment.pk_field is not None:
+        fld = schema.field_map()[segment.pk_field]
+        if fld.field_type in INT_TYPES:
+            keys = segment.primitive_cols[segment.pk_field][
+                alive_rows].tolist()
+        else:
+            col = segment.varlen_cols[segment.pk_field]
+            keys = [str(col[r]) for r in alive_rows.tolist()]
+        segment.pk_map.update(zip(keys, alive_rows.tolist()))
+    for name, (lat, lon) in segment.geo_cols.items():
+        segment.geo_indices[name].bulk_insert(
+            lat[alive_rows], lon[alive_rows], alive_rows)
+    segment.skip_sync_disk = False  # persist in native format on next dump
+    logger.info(f"Imported reference segment {path}: {n} rows "
+                f"({len(alive_rows)} alive), wal_id {wal_global_id}")
+
+
+def load_reference_graph(path: str, segment, field_name: str,
+                         metric, max_degree: int = 64):
+    """Reference CSR graph -> GraphIndex with fixed-degree padded adjacency.
+
+    CSR rows longer than max_degree are truncated (the reference's
+    SyncPrune emits neighbors nearest-first, nsg.cpp:540-580, so the kept
+    prefix is the closest ones); shorter rows pad with -1. Traversal/seed
+    semantics then match a natively built graph — representative seeding
+    replaces the single navigation point, which is kept as a seed member.
+    """
+    from .index.graph import GraphIndex
+
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    n, first_id = struct.unpack_from("<Qq", data, off)
+    off += 16
+    if n == 0:
+        return None
+    offsets = np.frombuffer(data, dtype="<i8", count=n + 1, offset=off)
+    off += (n + 1) * 8
+    total_edges = int(offsets[-1])
+    neighbors = np.frombuffer(data, dtype="<i8", count=total_edges,
+                              offset=off)
+    off += total_edges * 8
+    (nav,) = struct.unpack_from("<q", data, off)
+
+    degrees = np.diff(offsets)
+    r = int(min(max_degree, max(int(degrees.max(initial=1)), 1)))
+    adjacency = np.full((n, r), -1, dtype=np.int32)
+    # Vectorized CSR -> padded: rank of each edge within its row.
+    rank = np.arange(total_edges, dtype=np.int64) - np.repeat(offsets[:-1],
+                                                              degrees)
+    keep = rank < r
+    rows = np.repeat(np.arange(n, dtype=np.int64), degrees)[keep]
+    adjacency[rows, rank[keep]] = neighbors[keep].astype(np.int32)
+    logger.info(f"Imported reference CSR graph {path}: {n} rows, "
+                f"{total_edges} edges, degree<= {r}, nav {nav}")
+    return GraphIndex(segment, field_name, metric, adjacency, int(nav),
+                      int(n))

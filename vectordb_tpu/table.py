@@ -89,6 +89,14 @@ class Table:
         self.segment_path = os.path.join(db_path, str(schema.id), "data.vdb")
         self.segment = TableSegment.load(self.segment_path, schema,
                                          init_table_scale)
+        if not os.path.exists(self.segment_path):
+            # Migration path: a data directory written by the reference C++
+            # engine loads directly — same catalog JSON and text WAL; its
+            # binary segment snapshot is imported here (compat.py).
+            from . import compat
+            ref_path = compat.reference_segment_path(db_path, schema.id)
+            if os.path.exists(ref_path):
+                compat.load_reference_segment(ref_path, schema, self.segment)
         self.wal = WriteAheadLog(db_path, schema.id, is_leader)
         self.wal.set_enabled(wal_enabled)
         self.wal.replay(self._apply_wal_entry, self.segment.wal_global_id)
@@ -910,6 +918,28 @@ class Table:
                         f"{e}")
             return
         path = self._graph_path(field_name)
+        if not os.path.exists(path):
+            # Migration: import the reference engine's CSR graph when this
+            # engine's own graph artifact is absent (see compat.py).
+            from . import compat
+            fmap = self.schema.field_map()
+            ref_path = compat.reference_graph_path(
+                self.db_path, self.schema.id, fmap[field_name].id)
+            if os.path.exists(ref_path):
+                try:
+                    g = compat.load_reference_graph(
+                        ref_path, self.segment, field_name,
+                        self.metric_map[field_name])
+                    if g is not None and \
+                            g.num_rows <= self.segment.record_number:
+                        with self.graph_lock:
+                            self.graphs[field_name] = g
+                            self._graph_built_rows[field_name] = g.num_rows
+                except Exception as e:
+                    logger.error(
+                        f"Failed to import reference graph for "
+                        f"{field_name}: {e}")
+            return
         if os.path.exists(path):
             try:
                 from .index.graph import GraphIndex
