@@ -89,6 +89,38 @@ def make_bench_segment(n: int, dim: int, x: np.ndarray):
     return seg, schema
 
 
+def run_batches(table, queries, valid, metric, k, batch,
+                collect_ids=False):
+    """Software-pipelined batched search: dispatch(i) -> [collect(i-1)
+    host re-rank overlapping kernel(i)] -> fetch(i). The fetch of batch i
+    completes BEFORE batch i+1 is dispatched, so the d2h never queues
+    behind a later kernel (the failure mode of dispatch-ahead pipelining
+    through the tunneled relay). Returns (ids list or None, per-batch
+    latencies)."""
+    n_queries = queries.shape[0]
+    out = [] if collect_ids else None
+    lat = []
+    h_prev = None
+    t_mark = time.perf_counter()
+    for s in range(0, n_queries, batch):
+        h = table.dispatch_dense_search(
+            "V", queries[s:s + batch], valid, metric, k)
+        if h_prev is not None:
+            ids, _ = table.collect_dense_search(h_prev)
+            if collect_ids:
+                out.append(ids[:, :k])
+        table.fetch_dense_search(h)
+        h_prev = h
+        now = time.perf_counter()
+        lat.append(now - t_mark)
+        t_mark = now
+    ids, _ = table.collect_dense_search(h_prev)
+    if collect_ids:
+        out.append(ids[:, :k])
+    lat[-1] += time.perf_counter() - t_mark
+    return out, lat
+
+
 def make_shim(seg, graph):
     """A Table driving a pre-built segment+graph directly (no catalog/WAL);
     exercises the same batch_dense_search path as the full engine."""
@@ -114,7 +146,9 @@ def main():
     from vectordb_tpu.schema import MetricType
 
     n = int(os.environ.get("BENCH_N", 500_000))
-    dim, k, n_queries, batch = 128, 10, 2048, 2048
+    # 4 batches of 2048: the pipelined runner overlaps host re-rank with
+    # the next batch's kernel (single-batch passes can't).
+    dim, k, n_queries, batch = 128, 10, 8192, 2048
     x, queries = make_clustered(n, dim, n_queries)
     seg, schema = make_bench_segment(n, dim, x)
 
@@ -155,19 +189,8 @@ def main():
     valid = seg.valid_mask()
 
     def run_all(collect_ids=False):
-        # Synchronous per batch: dispatch-ahead pipelining was measured
-        # SLOWER through the tunneled relay (the d2h fetch of batch i
-        # queues behind the kernel of batch i+1: p50 144 -> 180 ms).
-        out = [] if collect_ids else None
-        lat = []
-        for s in range(0, n_queries, batch):
-            t_b = time.perf_counter()
-            ids, _ = table.batch_dense_search(
-                "V", queries[s:s + batch], valid, MetricType.EUCLIDEAN, k)
-            lat.append(time.perf_counter() - t_b)
-            if collect_ids:
-                out.append(ids[:, :k])
-        return out, lat
+        return run_batches(table, queries, valid, MetricType.EUCLIDEAN, k,
+                           batch, collect_ids)
 
     # Warmup + recall scoring (untimed).
     ids_all, _ = run_all(collect_ids=True)
@@ -211,25 +234,21 @@ def main():
         table2 = make_shim(seg2, g2)
         valid2 = seg2.valid_mask()
 
-        def run2():
-            hits2 = 0
-            for s in range(0, n_queries, batch):
-                ids, _ = table2.batch_dense_search(
-                    "V", queries[s:s + batch], valid2,
-                    MetricType.EUCLIDEAN, k)
-                for i in range(ids.shape[0]):
-                    hits2 += len(set(ids[i, :k].tolist())
-                                 & set(gt2[s + i].tolist()))
-            return hits2 / (n_queries * k)
-
-        recall_100k = run2()  # warmup + recall (untimed)
+        ids2_all, _ = run_batches(table2, queries, valid2,
+                                  MetricType.EUCLIDEAN, k, batch,
+                                  collect_ids=True)  # warmup + recall
+        hits2 = 0
+        for bi, s in enumerate(range(0, n_queries, batch)):
+            ids = ids2_all[bi]
+            for i in range(ids.shape[0]):
+                hits2 += len(set(ids[i, :k].tolist())
+                             & set(gt2[s + i].tolist()))
+        recall_100k = hits2 / (n_queries * k)
         runs2 = []
         for _ in range(N_TIMED):
             t0 = time.time()
-            for s in range(0, n_queries, batch):
-                table2.batch_dense_search(
-                    "V", queries[s:s + batch], valid2,
-                    MetricType.EUCLIDEAN, k)
+            run_batches(table2, queries, valid2, MetricType.EUCLIDEAN, k,
+                        batch)
             runs2.append(n_queries / (time.time() - t0))
         qps_100k = float(np.median(runs2))
         log(f"100k comparison: {qps_100k:.0f} qps at "
@@ -262,6 +281,8 @@ def main():
         "ref_cpp_qps_100k_1core": round(ref_qps, 1),
         "ref_cpp_recall_at_500k": 0.1279,
         "numpy_brute_qps": round(cpu_qps, 1),
+        "n_queries": n_queries,
+        "batch": batch,
     }))
 
 

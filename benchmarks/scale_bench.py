@@ -30,7 +30,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import (N_TIMED, blocked_ground_truth, log, make_bench_segment,
-                   make_clustered, make_shim)  # noqa: E402
+                   make_clustered, make_shim, run_batches)  # noqa: E402
 
 
 def main():
@@ -62,25 +62,24 @@ def main():
             graph.save(cache)
             log(f"graph saved: {cache}")
 
-    t0 = time.time()
-    gt = blocked_ground_truth(x, seg.dense_norms["V"][:n], queries, k,
-                              block=64)
-    log(f"ground truth: {time.time() - t0:.1f}s")
+    gt_cache = os.environ.get("SCALE_GT", "")
+    if gt_cache and os.path.exists(gt_cache):
+        gt = np.load(gt_cache)
+        log(f"ground-truth cache hit: {gt_cache}")
+    else:
+        t0 = time.time()
+        gt = blocked_ground_truth(x, seg.dense_norms["V"][:n], queries, k,
+                                  block=64)
+        log(f"ground truth: {time.time() - t0:.1f}s")
+        if gt_cache:
+            np.save(gt_cache, gt)
 
     table = make_shim(seg, graph)
     valid = seg.valid_mask()
 
     def run_all(collect_ids=False):
-        out = [] if collect_ids else None
-        lat = []
-        for s in range(0, n_queries, batch):
-            t_b = time.perf_counter()
-            ids, _ = table.batch_dense_search(
-                "V", queries[s:s + batch], valid, MetricType.EUCLIDEAN, k)
-            lat.append(time.perf_counter() - t_b)
-            if collect_ids:
-                out.append(ids[:, :k])
-        return out, lat
+        return run_batches(table, queries, valid, MetricType.EUCLIDEAN, k,
+                           batch, collect_ids)
 
     ids_all, _ = run_all(collect_ids=True)  # warmup + recall, untimed
     hits = 0

@@ -192,3 +192,32 @@ def test_mask_cache_not_poisoned_by_stale_valid_snapshot(tmp_path):
     s, cap = sf.store.n_shards, sf.store.cap_s
     for r in (1000, 1100, 1199):
         assert mask[r % s, r // s], r
+
+
+def test_sharded_ivf_build_path(tmp_path):
+    """Sub-quadratic sharded build: per-shard rows above IvfKnnThreshold
+    route KNN through per-shard IVF partitioning (ops/ivf.py) instead of
+    the exact in-kernel scan; recall must hold."""
+    old = global_config.ivf_knn_threshold
+    global_config.ivf_knn_threshold = 400  # 4000 rows / 8 shards = 500 each
+    try:
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(4000, 32)).astype(np.float32)
+        _mk_table(tmp_path)
+        _insert("t", x)
+        assert vdb.rebuild() == 0
+        table = vdb._db.databases["sdb"].tables["t"]
+        assert table.sharded_fields["V"].graph is not None
+
+        queries = x[rng.integers(0, 4000, 64)] + 0.01 * rng.normal(
+            size=(64, 32)).astype(np.float32)
+        hits = 0
+        for q in queries:
+            code, res = vdb.query("t", "V", q.tolist(), ["ID"], 10, "",
+                                  True)
+            hits += len({r["ID"] for r in res}
+                        & set(_oracle(x, q, 10).tolist()))
+        recall = hits / (64 * 10)
+        assert recall >= 0.95, recall
+    finally:
+        global_config.ivf_knn_threshold = old

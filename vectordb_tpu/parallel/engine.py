@@ -250,15 +250,17 @@ def _local_knn(tab, nrm, local_n, k: int, metric: int, qb: int, chunk: int):
 def _shard_build_fwd(tab, nrm, local_n, metric: int, knn_k: int,
                      degree: int, alpha: float, pool_size: int,
                      search_l: int, search_iters: int, batch: int,
-                     reps, qb: int, chunk: int):
-    """Full device build for one shard: exact local KNN, then pool-search +
+                     reps, qb: int, chunk: int, knn_ids=None):
+    """Full device build for one shard: local KNN (exact in-kernel, or
+    precomputed per-shard IVF ids passed in), then pool-search +
     occlusion-prune per node batch. Returns forward edges [C, degree]
     (local slot ids, -1 padded)."""
     from ..index.graph import _pool_kernel, _prune_batch_kernel, _extract_fwd
     from ..ops.beam import beam_search_kernel
 
     c_rows, d = tab.shape
-    knn_d, knn_ids = _local_knn(tab, nrm, local_n, knn_k, metric, qb, chunk)
+    if knn_ids is None:
+        _, knn_ids = _local_knn(tab, nrm, local_n, knn_k, metric, qb, chunk)
     boot_deg = max(degree // 2, 16)
     boot_adj = jnp.where(knn_ids[:, :boot_deg] >= 0,
                          knn_ids[:, :boot_deg], -1).astype(jnp.int32)
@@ -310,6 +312,36 @@ def _sharded_build(buf, norms, local_ns, reps, *, alpha: float, mesh,
         return fwd[None]
 
     return run(buf, norms, local_ns, reps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "metric", "knn_k", "degree", "pool_size",
+                     "search_l", "search_iters", "batch", "qb", "chunk",
+                     "alpha"))
+def _sharded_build_preknn(buf, norms, local_ns, reps, knn_ids, *,
+                          alpha: float, mesh, metric: int, knn_k: int,
+                          degree: int, pool_size: int, search_l: int,
+                          search_iters: int, batch: int, qb: int,
+                          chunk: int):
+    """Pool-search + prune per shard with PRECOMPUTED per-shard KNN ids
+    (local slots, [S, cap_s, K]) — the sub-quadratic build path: KNN comes
+    from per-shard IVF partitioning instead of the exact in-kernel scan."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS), P(SHARD_AXIS, None),
+                  P(SHARD_AXIS, None, None)),
+        out_specs=P(SHARD_AXIS, None, None), check_vma=False)
+    def run(tab, nrm, local_n, rp, kn):
+        fwd = _shard_build_fwd(tab[0], nrm[0], local_n[0], metric, knn_k,
+                               degree, alpha, pool_size, search_l,
+                               search_iters, batch, rp[0], qb, chunk,
+                               knn_ids=kn[0])
+        return fwd[None]
+
+    return run(buf, norms, local_ns, reps, knn_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -476,12 +508,33 @@ class ShardedGraphIndex:
 
         put2 = NamedSharding(mesh, P(SHARD_AXIS, None))
         put1 = NamedSharding(mesh, P(SHARD_AXIS))
-        fwd_dev = _sharded_build(
-            store.buf, store.norms, jax.device_put(local_ns, put1),
-            jax.device_put(reps, put2), alpha=float(alpha), mesh=mesh,
-            metric=int(metric), knn_k=knn_k, degree=degree,
-            pool_size=pool_size, search_l=64, search_iters=24, batch=batch,
-            qb=qb, chunk=chunk)
+        from ..config import global_config as _cfg
+
+        if int(local_ns.max()) >= getattr(_cfg, "ivf_knn_threshold",
+                                          3_000_000):
+            # Sub-quadratic path: per-shard IVF-partitioned KNN (host-
+            # orchestrated, one shard's device at a time — the probe stage
+            # is grouped dispatches, so serialization is bounded), then the
+            # pool/prune phases run for all shards in one shard_map program.
+            knn_pre = cls._per_shard_ivf_knn(mesh, host, n, local_ns, cap_s,
+                                             knn_k, metric, store)
+            fwd_dev = _sharded_build_preknn(
+                store.buf, store.norms, jax.device_put(local_ns, put1),
+                jax.device_put(reps, put2),
+                jax.device_put(knn_pre,
+                               NamedSharding(mesh, P(SHARD_AXIS, None,
+                                                     None))),
+                alpha=float(alpha), mesh=mesh, metric=int(metric),
+                knn_k=knn_k, degree=degree, pool_size=pool_size,
+                search_l=64, search_iters=24, batch=batch, qb=qb,
+                chunk=chunk)
+        else:
+            fwd_dev = _sharded_build(
+                store.buf, store.norms, jax.device_put(local_ns, put1),
+                jax.device_put(reps, put2), alpha=float(alpha), mesh=mesh,
+                metric=int(metric), knn_k=knn_k, degree=degree,
+                pool_size=pool_size, search_l=64, search_iters=24,
+                batch=batch, qb=qb, chunk=chunk)
         fwd = np.asarray(fwd_dev)  # [S, cap_s, degree], one fetch
 
         # Host finalize per shard over local-id space.
@@ -499,6 +552,29 @@ class ShardedGraphIndex:
         logger.info(f"Sharded graph build: {n} rows over {s} shards, "
                     f"degree {degree}x2, {build_s:.1f}s")
         return cls(mesh, adjacency, reps, n, metric)
+
+    @staticmethod
+    def _per_shard_ivf_knn(mesh: Mesh, host: np.ndarray, n: int,
+                           local_ns: np.ndarray, cap_s: int, knn_k: int,
+                           metric: MetricType, store) -> np.ndarray:
+        """IVF-partitioned KNN per shard (ops/ivf.py) over each shard's own
+        rows; returns [S, cap_s, K] LOCAL slot ids (-1 padded)."""
+        from ..ops.ivf import ivf_knn
+
+        s = int(mesh.devices.size)
+        devices = mesh.devices.reshape(-1)
+        out = np.full((s, cap_s, knn_k), -1, np.int32)
+        for i in range(s):
+            ln = int(local_ns[i])
+            g = np.arange(ln) * s + i  # local slot -> global row
+            pad_n = max(_round_up(ln, 8192), 8192)
+            rows = np.zeros((pad_n, store.dim_padded), np.float32)
+            rows[:ln, : store.dim] = host[g, : store.dim]
+            tab_i = jax.device_put(rows, devices[i]).astype(store.dtype)
+            ids_h, _ = ivf_knn(tab_i, None, ln, knn_k, metric)
+            out[i, :ln] = ids_h
+            del tab_i
+        return out
 
     def save(self, path: str) -> None:
         import io

@@ -381,10 +381,12 @@ class Table:
         Dispatch (reference Search, vec_search_executor.cpp:833-935):
         graph beam search over indexed rows + flat tail over the rest when a
         graph exists and n >= brute_force_threshold; otherwise fused flat
-        scan over everything. Implemented as dispatch + collect so callers
-        that stream batches can PIPELINE: dispatch batch i+1 before
-        collecting batch i (the device kernel then overlaps the host
-        fetch/re-rank of the previous batch).
+        scan over everything. Implemented as three stages so callers that
+        stream batches can PIPELINE: dispatch(i) -> fetch(i) ->
+        dispatch(i+1) -> collect(i) — the host-side exact re-rank of batch
+        i then overlaps the device kernel of batch i+1. (Dispatching i+1
+        BEFORE fetching i was measured slower through the tunneled relay:
+        the d2h fetch queues behind the next kernel.)
         """
         return self.collect_dense_search(self.dispatch_dense_search(
             field_name, queries, valid, metric, k,
@@ -462,11 +464,28 @@ class Table:
             h["mode"] = "graph"
             h["dev"] = (d_dev, ids_dev)
             h["graph_rows"] = graph.num_rows
+        else:
+            h["dev"] = self._flat_launch(
+                field_name, queries, valid, metric,
+                min(k_eff + RERANK_SLACK, max(n_alive, 1)),
+                mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
+        return h
+
+    def fetch_dense_search(self, h):
+        """Stage 2a: blocking fetch of the dispatched device results (ONE
+        d2h round trip). Host-only work stays in collect_dense_search, so a
+        pipelining caller dispatches the NEXT batch between fetch and
+        collect — the exact re-rank then overlaps the next kernel."""
+        if "dev" in h and "dev_host" not in h:
+            import jax
+            h["dev_host"] = jax.device_get(h["dev"])
+            del h["dev"]
         return h
 
     def collect_dense_search(self, h) -> Tuple[np.ndarray, np.ndarray]:
-        """Stage 2: fetch the dispatched results, merge the flat tail /
-        selective-filter top-up, exact-re-rank on the host mirror."""
+        """Stage 2b: merge the flat tail / selective-filter top-up,
+        exact-re-rank on the host mirror."""
+        self.fetch_dense_search(h)
         field_name, queries = h["field"], h["queries"]
         valid, metric = h["valid"], h["metric"]
         k_eff, b_real, n, n_alive = (h["k_eff"], h["b_real"], h["n"],
@@ -476,8 +495,7 @@ class Table:
         if h["mode"] == "sharded":
             cand_ids = h["cand_ids"]
         elif h["mode"] == "graph":
-            import jax
-            d_h, ids_h = jax.device_get(h["dev"])  # ONE round trip
+            d_h, ids_h = h["dev_host"]
             cand_ids = ids_h.astype(np.int64)
             cand_ids[~np.isfinite(d_h)] = -1
             # Brute-force tail over rows inserted after the graph build.
@@ -499,10 +517,9 @@ class Table:
                     mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
                 cand_ids = np.concatenate([cand_ids, f_ids], axis=1)
         else:
-            cand_ids, _ = self._flat_candidates(
-                field_name, queries, valid, metric,
-                min(k_eff + RERANK_SLACK, max(n_alive, 1)),
-                mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
+            d_h, ids_h = h["dev_host"]
+            cand_ids = np.asarray(ids_h).astype(np.int64)
+            cand_ids[~np.isfinite(np.asarray(d_h))] = -1
 
         return self._rerank_candidates(field_name, queries, cand_ids,
                                        metric, k_eff, b_real)
@@ -634,12 +651,12 @@ class Table:
             return self._device_mask(store, host, row_start, False)
         return fdm
 
-    def _flat_candidates(self, field_name: str, queries: np.ndarray,
-                         valid: np.ndarray, metric: MetricType, k: int,
-                         row_start: int = 0, mask_cacheable: bool = False,
-                         filter_ctx: Optional["_FilterCtx"] = None
-                         ) -> Tuple[np.ndarray, np.ndarray]:
-        """Fused device scan over rows [row_start, n) -> top-k candidates."""
+    def _flat_launch(self, field_name: str, queries: np.ndarray,
+                     valid: np.ndarray, metric: MetricType, k: int,
+                     row_start: int = 0, mask_cacheable: bool = False,
+                     filter_ctx: Optional["_FilterCtx"] = None):
+        """Launch the fused device scan over rows [row_start, n); returns
+        device handles (async — fetch with jax.device_get)."""
         store = self.segment.device_view(field_name)
         dm = self._composed_device_mask(store, valid, mask_cacheable,
                                         filter_ctx, row_start)
@@ -647,12 +664,22 @@ class Table:
         qp[:, : store.dim] = queries
         import jax.numpy as jnp
 
-        d, ids = flat_ops.flat_topk(
+        return flat_ops.flat_topk(
             jnp.asarray(qp), store.buf,
             store.norms if metric == MetricType.EUCLIDEAN else None,
             dm, metric, min(k, store.capacity))
+
+    def _flat_candidates(self, field_name: str, queries: np.ndarray,
+                         valid: np.ndarray, metric: MetricType, k: int,
+                         row_start: int = 0, mask_cacheable: bool = False,
+                         filter_ctx: Optional["_FilterCtx"] = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused device scan over rows [row_start, n) -> top-k candidates."""
         import jax
-        d, ids = jax.device_get((d, ids))  # one round trip, not two
+
+        d, ids = jax.device_get(self._flat_launch(
+            field_name, queries, valid, metric, k, row_start,
+            mask_cacheable, filter_ctx))  # one round trip, not two
         ids = ids.astype(np.int64)
         ids[~np.isfinite(d)] = -1
         return ids, d.astype(np.float64)
