@@ -63,16 +63,29 @@ def main():
             log(f"graph saved: {cache}")
 
     gt_cache = os.environ.get("SCALE_GT", "")
+    gt = None
     if gt_cache and os.path.exists(gt_cache):
-        gt = np.load(gt_cache)
-        log(f"ground-truth cache hit: {gt_cache}")
-    else:
+        # Validated cache: the file carries n/dim so a cache produced by a
+        # different run shape cannot be loaded silently.
+        try:
+            with np.load(gt_cache, allow_pickle=False) as z:
+                if (int(z["n"]) == n and int(z["dim"]) == dim
+                        and z["gt"].shape == (n_queries, k)):
+                    gt = z["gt"]
+                    log(f"ground-truth cache hit: {gt_cache}")
+                else:
+                    log("ground-truth cache shape/meta mismatch; "
+                        "recomputing")
+        except Exception as e:
+            log(f"ground-truth cache unreadable ({e}); recomputing")
+    if gt is None:
         t0 = time.time()
         gt = blocked_ground_truth(x, seg.dense_norms["V"][:n], queries, k,
                                   block=64)
         log(f"ground truth: {time.time() - t0:.1f}s")
         if gt_cache:
-            np.save(gt_cache, gt)
+            with open(gt_cache, "wb") as f:  # exact path, no .npz append
+                np.savez(f, gt=gt, n=n, dim=dim)
 
     table = make_shim(seg, graph)
     valid = seg.valid_mask()

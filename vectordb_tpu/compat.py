@@ -165,10 +165,15 @@ def load_reference_segment(path: str, schema: TableSchema, segment) -> None:
                 segment.primitive_cols[f.name][:n] = vals
 
     # Var-len table: record-major (load loop order matters,
-    # table_segment_mvp.cpp:241-273).
+    # table_segment_mvp.cpp:241-273). Lengths are interleaved with
+    # payloads, so the walk is inherently sequential; the pre-bound Struct
+    # keeps the per-field cost to two C calls (one-time migration cost —
+    # the next dump persists in this engine's own columnar format).
+    q8 = struct.Struct("<q")
     for r in range(n):
         for f in var_len:
-            ln = take("<q")
+            (ln,) = q8.unpack_from(data, off)
+            off += 8
             payload = data[off:off + ln]
             off += ln
             if f.field_type in SPARSE_VECTOR_TYPES:
@@ -207,7 +212,11 @@ def load_reference_segment(path: str, schema: TableSchema, segment) -> None:
         else:
             col = segment.varlen_cols[segment.pk_field]
             keys = [str(col[r]) for r in alive_rows.tolist()]
-        segment.pk_map.update(zip(keys, alive_rows.tolist()))
+        # Reversed so a duplicated PK maps to its EARLIEST alive row,
+        # matching the reference's addKeyIfNotExist on load (177-236) —
+        # crash/replay artifacts can leave duplicate alive PKs on disk.
+        segment.pk_map.update(zip(reversed(keys),
+                                  reversed(alive_rows.tolist())))
     for name, (lat, lon) in segment.geo_cols.items():
         segment.geo_indices[name].bulk_insert(
             lat[alive_rows], lon[alive_rows], alive_rows)

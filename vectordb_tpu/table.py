@@ -957,8 +957,15 @@ class Table:
                     g = compat.load_reference_graph(
                         ref_path, self.segment, field_name,
                         self.metric_map[field_name])
-                    if g is not None and \
-                            g.num_rows <= self.segment.record_number:
+                    if g is None:
+                        pass
+                    elif g.num_rows > self.segment.record_number:
+                        logger.warning(
+                            f"Skipping imported reference graph for "
+                            f"{field_name}: built from {g.num_rows} rows "
+                            f"but table has only "
+                            f"{self.segment.record_number}")
+                    else:
                         with self.graph_lock:
                             self.graphs[field_name] = g
                             self._graph_built_rows[field_name] = g.num_rows
@@ -967,25 +974,24 @@ class Table:
                         f"Failed to import reference graph for "
                         f"{field_name}: {e}")
             return
-        if os.path.exists(path):
-            try:
-                from .index.graph import GraphIndex
-                g = GraphIndex.load(path, self.segment, field_name)
-                if g.num_rows > self.segment.record_number:
-                    # Graph is ahead of this replica's table (leader built
-                    # it from newer data): searching it would return ids
-                    # beyond record_number (reference guard,
-                    # table_mvp.cpp:163-167).
-                    logger.warning(
-                        f"Skipping graph for {field_name}: built from "
-                        f"{g.num_rows} rows but table has only "
-                        f"{self.segment.record_number}")
-                    return
-                with self.graph_lock:
-                    self.graphs[field_name] = g
-                    self._graph_built_rows[field_name] = g.num_rows
-            except Exception as e:
-                logger.error(f"Failed to load graph for {field_name}: {e}")
+        try:
+            from .index.graph import GraphIndex
+            g = GraphIndex.load(path, self.segment, field_name)
+            if g.num_rows > self.segment.record_number:
+                # Graph is ahead of this replica's table (leader built
+                # it from newer data): searching it would return ids
+                # beyond record_number (reference guard,
+                # table_mvp.cpp:163-167).
+                logger.warning(
+                    f"Skipping graph for {field_name}: built from "
+                    f"{g.num_rows} rows but table has only "
+                    f"{self.segment.record_number}")
+                return
+            with self.graph_lock:
+                self.graphs[field_name] = g
+                self._graph_built_rows[field_name] = g.num_rows
+        except Exception as e:
+            logger.error(f"Failed to load graph for {field_name}: {e}")
 
     def rebuild(self) -> Status:
         if self.is_leader:
