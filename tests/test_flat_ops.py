@@ -87,3 +87,23 @@ def test_exact_rerank_fixes_bf16_scores():
     ids[0, 0] = -1
     d = exact_rerank(q, table, ids, MetricType.COSINE)
     assert np.isinf(d[0, 0])
+
+
+def test_device_ground_truth_matches_host_oracle():
+    """bench.device_ground_truth (exact f32 device scan) must agree with
+    the host BLAS oracle — it substitutes for it at >=2M rows."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import blocked_ground_truth, device_ground_truth
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(20000, 64)).astype(np.float32)
+    xn = (x ** 2).sum(1)
+    q = x[rng.integers(0, 20000, 256)] + 0.05 * rng.normal(
+        size=(256, 64)).astype(np.float32)
+    host = blocked_ground_truth(x, xn, q, 10)
+    dev = device_ground_truth(x, xn, q, 10, batch=256)
+    overlap = np.mean([
+        len(set(host[i]) & set(dev[i])) / 10 for i in range(len(q))])
+    assert overlap >= 0.999, overlap
