@@ -61,12 +61,17 @@ def device_ground_truth(x: np.ndarray, xn: np.ndarray,
     """Exact EUCLIDEAN top-k oracle on the device in FLOAT32 (untimed).
 
     Same arithmetic as the host BLAS oracle (f32 inputs, f32 accumulation
-    of qn - 2 q.x + xn) but ~100x faster: the host oracle takes ~an hour
+    of qn - 2 q.x + xn) but far faster: the host oracle takes ~an hour
     for 4096 queries at 10M rows, which is why large-scale runs use this.
     Independent of the engine's bf16 store/candidate machinery — the table
-    is a fresh f32 upload and the scan is a single fused f32 matmul+top-k.
-    Cross-checked against blocked_ground_truth in tests and at 500k here.
+    is a fresh f32 upload and the scan is a fused matmul+top-k at
+    Precision.HIGHEST (bf16x3). HIGHEST is load-bearing: the TPU's DEFAULT
+    f32 matmul truncates operands to bf16, and at 10M clustered rows that
+    ~2e-3 relative ip error reorders near-tied neighbors — measured 0.98
+    oracle overlap vs the host, which silently deflated engine recall.
+    Cross-checked against blocked_ground_truth in tests.
     """
+    import jax
     import jax.numpy as jnp
 
     from vectordb_tpu.ops import flat as flat_ops
@@ -92,7 +97,8 @@ def device_ground_truth(x: np.ndarray, xn: np.ndarray,
         q = np.zeros((qb.shape[0], dp), np.float32)
         q[:, :d] = qb
         dd, ii = flat_ops.flat_topk(jnp.asarray(q), tab_dev, norms_dev,
-                                    mask_dev, MetricType.EUCLIDEAN, k)
+                                    mask_dev, MetricType.EUCLIDEAN, k,
+                                    precision=jax.lax.Precision.HIGHEST)
         gt[s:s + batch] = np.asarray(ii)
     return gt
 

@@ -98,7 +98,11 @@ def test_device_ground_truth_matches_host_oracle():
     from bench import blocked_ground_truth, device_ground_truth
 
     rng = np.random.default_rng(11)
-    x = rng.normal(size=(20000, 64)).astype(np.float32)
+    # A large common offset inflates inner-product magnitudes without
+    # changing distances — this is what exposed the TPU DEFAULT-precision
+    # bf16 operand truncation at 10M (oracle overlap fell to 0.98); the
+    # oracle must run at Precision.HIGHEST to survive it.
+    x = (rng.normal(size=(20000, 64)) + 8.0).astype(np.float32)
     xn = (x ** 2).sum(1)
     q = x[rng.integers(0, 20000, 256)] + 0.05 * rng.normal(
         size=(256, 64)).astype(np.float32)

@@ -36,12 +36,19 @@ SINGLE_PASS_MAX_ELEMS = 1 << 28
 
 
 def _scores(q: jnp.ndarray, tab: jnp.ndarray, norms: Optional[jnp.ndarray],
-            metric: int) -> jnp.ndarray:
-    """[B, D] x [chunk, D] -> [B, chunk] distance block (f32 accumulation)."""
+            metric: int, precision=None) -> jnp.ndarray:
+    """[B, D] x [chunk, D] -> [B, chunk] distance block (f32 accumulation).
+
+    precision: None = backend default. NOTE the TPU default truncates f32
+    matmul OPERANDS to bf16 (one MXU pass) — fine for candidate
+    generation (the engine exact-re-ranks on host), WRONG for an exact
+    oracle; pass jax.lax.Precision.HIGHEST (bf16x3 ~= true f32) there.
+    """
     ip = jax.lax.dot_general(
         q, tab,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=precision)
     if metric == int(MetricType.EUCLIDEAN):
         qn = jnp.sum(q.astype(jnp.float32) * q.astype(jnp.float32), axis=1,
                      keepdims=True)
@@ -51,8 +58,10 @@ def _scores(q: jnp.ndarray, tab: jnp.ndarray, norms: Optional[jnp.ndarray],
     return -ip  # DOT_PRODUCT
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k", "chunk"))
-def _flat_topk_scan(q, table, norms, mask, metric: int, k: int, chunk: int):
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "k", "chunk", "precision"))
+def _flat_topk_scan(q, table, norms, mask, metric: int, k: int, chunk: int,
+                    precision=None):
     """Streamed scan over row chunks, carrying a running top-k."""
     n = table.shape[0]
     n_chunks = n // chunk
@@ -72,7 +81,7 @@ def _flat_topk_scan(q, table, norms, mask, metric: int, k: int, chunk: int):
     def body(carry, xs):
         best_d, best_i = carry
         tab, nrm, msk, base = xs
-        d = _scores(q, tab, nrm, metric)
+        d = _scores(q, tab, nrm, metric, precision)
         d = jnp.where(msk[None, :], d, jnp.inf)
         ids = base + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
         all_d = jnp.concatenate([best_d, d], axis=1)
@@ -85,9 +94,10 @@ def _flat_topk_scan(q, table, norms, mask, metric: int, k: int, chunk: int):
     return best_d, best_i
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k"))
-def _flat_topk_single(q, table, norms, mask, metric: int, k: int):
-    d = _scores(q, table, norms, metric)
+@functools.partial(jax.jit, static_argnames=("metric", "k", "precision"))
+def _flat_topk_single(q, table, norms, mask, metric: int, k: int,
+                      precision=None):
+    d = _scores(q, table, norms, metric, precision)
     d = jnp.where(mask[None, :], d, jnp.inf)
     neg_top, ids = jax.lax.top_k(-d, k)
     return -neg_top, ids
@@ -99,7 +109,8 @@ def flat_topk(queries: jnp.ndarray,
               mask: jnp.ndarray,
               metric: MetricType,
               k: int,
-              chunk: int = DEFAULT_CHUNK) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              chunk: int = DEFAULT_CHUNK,
+              precision=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused distance + top-k over an [N, D] device table.
 
     queries: [B, D] (f32 or bf16; cast to table dtype for the MXU block)
@@ -114,8 +125,10 @@ def flat_topk(queries: jnp.ndarray,
     k = min(k, n)
     q = queries.astype(table.dtype)
     if q.shape[0] * n <= SINGLE_PASS_MAX_ELEMS or n % chunk != 0:
-        return _flat_topk_single(q, table, norms, mask, int(metric), k)
-    return _flat_topk_scan(q, table, norms, mask, int(metric), k, chunk)
+        return _flat_topk_single(q, table, norms, mask, int(metric), k,
+                                 precision)
+    return _flat_topk_scan(q, table, norms, mask, int(metric), k, chunk,
+                           precision)
 
 
 def flat_distances(queries: jnp.ndarray, table: jnp.ndarray,
