@@ -30,7 +30,7 @@ import time
 
 import numpy as np
 
-N_TIMED = 3
+N_TIMED = 5  # timed passes; relay throughput varies run-to-run, median of 5
 RECALL_FLOOR = 0.99
 
 

@@ -236,3 +236,40 @@ def test_beam_compaction_recall(tmp_path):
     base = run(0)
     assert base >= 0.97, base
     assert run(64) >= base - 0.015, (run(64), base)
+
+
+def test_grouped_build_dispatch_matches_oracle(monkeypatch):
+    """The grouped lax.scan build path (_build_batch_group) must produce a
+    graph of the same quality as the per-batch path — exercised by
+    shrinking the batch size so a small table crosses the grouped region."""
+    from vectordb_tpu.index import graph as graph_mod
+    from vectordb_tpu.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_tpu.segment import TableSegment
+
+    monkeypatch.setattr(graph_mod, "PRUNE_BATCH", 128)
+    rng = np.random.default_rng(21)
+    n, dim, k = 4096, 32, 10
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    schema = TableSchema(id=0, name="g", fields=[
+        FieldSchema(id=0, name="ID", is_primary_key=True,
+                    field_type=FieldType.INT4),
+        FieldSchema(id=1, name="V", field_type=FieldType.VECTOR_FLOAT,
+                    vector_dimension=dim,
+                    metric_type=MetricType.EUCLIDEAN)])
+    seg = TableSegment(schema, n)
+    seg.record_number = n
+    seg.dense_host["V"][:n] = x
+    seg.dense_norms["V"][:n] = (x ** 2).sum(1)
+    g = graph_mod.GraphIndex.build(seg, "V", MetricType.EUCLIDEAN)
+
+    from vectordb_tpu.ops.beam import beam_search
+    q = x[rng.integers(0, n, 64)] + 0.01 * rng.normal(
+        size=(64, dim)).astype(np.float32)
+    ids = beam_search(g, q, seg.valid_mask(), MetricType.EUCLIDEAN,
+                      beam_width=64, term_width=16)
+    d = ((q ** 2).sum(1)[:, None] - 2.0 * (q @ x.T)
+         + (x ** 2).sum(1)[None, :])
+    gt = np.argsort(d, axis=1)[:, :k]
+    hits = sum(len(set(ids[i, :k].tolist()) & set(gt[i].tolist()))
+               for i in range(64))
+    assert hits / (64 * k) >= 0.97

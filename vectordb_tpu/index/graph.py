@@ -101,17 +101,13 @@ def _pool_kernel(node_ids, node_vecs, beam_ids, visited_ids, knn_batch,
     return sids[:, :pool_size], sd[:, :pool_size]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("metric", "degree", "pool_size", "search_l",
-                     "search_iters", "batch"))
-def _build_batch_kernel(start, table, norms, boot_adj, boot_reps, knn_ids,
-                        alpha, metric: int, degree: int, pool_size: int,
-                        search_l: int, search_iters: int, batch: int):
-    """One compiled program for a whole build batch: slice nodes at a
-    DYNAMIC offset, beam-search their pools over the bootstrap graph,
-    assemble + prune — so the build loop launches a single executable per
-    batch with zero per-batch recompilation."""
+def _build_batch_body(start, table, norms, boot_adj, boot_reps, knn_ids,
+                      alpha, metric: int, degree: int, pool_size: int,
+                      search_l: int, search_iters: int, batch: int):
+    """Build stage for one node batch at a DYNAMIC offset: beam-search the
+    pools over the bootstrap graph, assemble + prune. Traced once — jitted
+    directly (_build_batch_kernel) and inside the grouped scan
+    (_build_batch_group)."""
     from ..ops.beam import beam_search_kernel
 
     node_vecs = jax.lax.dynamic_slice(
@@ -133,6 +129,42 @@ def _build_batch_kernel(start, table, norms, boot_adj, boot_reps, knn_ids,
     kept = _prune_batch_kernel(pool_vecs, pool_d, jnp.isfinite(pool_d),
                                metric, degree, alpha)
     return _extract_fwd(pool_ids, kept, degree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "degree", "pool_size", "search_l",
+                     "search_iters", "batch"))
+def _build_batch_kernel(start, table, norms, boot_adj, boot_reps, knn_ids,
+                        alpha, metric: int, degree: int, pool_size: int,
+                        search_l: int, search_iters: int, batch: int):
+    return _build_batch_body(start, table, norms, boot_adj, boot_reps,
+                             knn_ids, alpha, metric, degree, pool_size,
+                             search_l, search_iters, batch)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "degree", "pool_size", "search_l",
+                     "search_iters", "batch", "group"))
+def _build_batch_group(start0, table, norms, boot_adj, boot_reps, knn_ids,
+                       alpha, metric: int, degree: int, pool_size: int,
+                       search_l: int, search_iters: int, batch: int,
+                       group: int):
+    """`group` consecutive build batches in ONE dispatch (lax.scan over
+    the batch body). Dispatch latency through a tunneled relay dominates
+    a 245-launch build loop; grouping cuts launches ~group-fold at the
+    same compile cost (the scan body compiles once)."""
+
+    def step(_, gi):
+        fwd = _build_batch_body(start0 + gi * batch, table, norms,
+                                boot_adj, boot_reps, knn_ids, alpha,
+                                metric, degree, pool_size, search_l,
+                                search_iters, batch)
+        return None, fwd
+
+    _, fwd = jax.lax.scan(step, None, jnp.arange(group, dtype=jnp.int32))
+    return fwd.reshape(group * batch, fwd.shape[-1])
 
 
 def _extract_fwd(pool_ids, kept, degree: int):
@@ -338,6 +370,10 @@ class GraphIndex:
         import time as _time
 
         t_start = _time.perf_counter()
+        # Device phases dispatch asynchronously, so by default the laps
+        # measure dispatch and everything real drains into "fetch".
+        # VDB_BUILD_PROFILE=1 blocks between phases for true phase times.
+        profile = os.environ.get("VDB_BUILD_PROFILE") == "1"
 
         def _lap(phase, t=[None]):
             now = _time.perf_counter()
@@ -377,6 +413,8 @@ class GraphIndex:
         else:
             knn_ids, knn_d = exact_knn(store.buf, store.norms, n, knn_k,
                                        metric)
+        if profile:
+            jax.block_until_ready(knn_ids)
 
         _lap("nav")
         # 2. Navigation point: nearest row to the centroid
@@ -416,8 +454,20 @@ class GraphIndex:
         from ..utils import build_pause_gate
 
         fwd_parts = []
-        for start in range(0, n_rows_knn, batch):
+        start = 0
+        group = 16
+        # Grouped region: `group` batches per dispatch (launch count is a
+        # real cost through the relay — see _build_batch_group).
+        while (search_pools and start + group * batch <= n_rows_knn
+               and start < n):
             build_pause_gate.check_wait()  # BuilderSuspend equivalent
+            fwd_parts.append(_build_batch_group(
+                jnp.int32(start), store.buf, store.norms, boot_adj,
+                boot_reps, knn_ids, float(alpha), int(metric), degree,
+                pool_size, search_l, search_iters, batch, group))
+            start += group * batch
+        for start in range(start, n_rows_knn, batch):
+            build_pause_gate.check_wait()
             if start >= n:
                 break
             real_start = start
