@@ -29,13 +29,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import (N_TIMED, blocked_ground_truth, device_ground_truth, log,
-                   make_bench_segment, make_clustered, make_shim,
-                   run_batches)  # noqa: E402
-
-# Above this row count the exact-f32 oracle runs on the device (the host
-# BLAS version takes ~an hour at 10M; same arithmetic either way).
-GT_DEVICE_MIN_ROWS = 2_000_000
+from bench import (N_TIMED, device_ground_truth, log, make_bench_segment,
+                   make_clustered, make_shim, run_batches)  # noqa: E402
 
 
 def main():
@@ -85,14 +80,11 @@ def main():
             log(f"ground-truth cache unreadable ({e}); recomputing")
     if gt is None:
         t0 = time.time()
-        if n >= GT_DEVICE_MIN_ROWS:
-            gt = device_ground_truth(x, seg.dense_norms["V"][:n], queries,
-                                     k)
-        else:
-            gt = blocked_ground_truth(x, seg.dense_norms["V"][:n], queries,
-                                      k, block=64)
-        log(f"ground truth: {time.time() - t0:.1f}s "
-            f"({'device f32' if n >= GT_DEVICE_MIN_ROWS else 'host'})")
+        # Exact-f32 device oracle (Precision.HIGHEST): cross-checked
+        # against the host BLAS oracle in tests and at 10M; the host
+        # version takes ~an hour at this scale.
+        gt = device_ground_truth(x, seg.dense_norms["V"][:n], queries, k)
+        log(f"ground truth: {time.time() - t0:.1f}s (device f32)")
         if gt_cache:
             with open(gt_cache, "wb") as f:  # exact path, no .npz append
                 np.savez(f, gt=gt, n=n, dim=dim)

@@ -273,3 +273,67 @@ class TestGraphImport:
         hits = sum(len(set(ids[i, :k].tolist()) & set(gt[i].tolist()))
                    for i in range(64))
         assert hits / (64 * k) >= 0.95
+
+
+class TestExportRoundTrip:
+    def test_export_then_reimport_full_state(self, tmp_path):
+        """export_reference_format writes data_mvp.bin + CSR graphs that
+        this engine's own importer (byte-validated against the C++ writer
+        sources) loads back identically — a full two-way migration
+        round trip incl. the ANN graph."""
+        import numpy as np
+
+        db_path = str(tmp_path / "rt")
+        vdb.load_db("rt", db_path)
+        vdb.use_db("rt")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Doc", "dataType": "STRING"},
+            {"name": "Loc", "dataType": "GEO_POINT"},
+            {"name": "Sp", "dataType": "SPARSE_VECTOR_FLOAT",
+             "dimensions": 50, "metricType": "COSINE"},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 8,
+             "metricType": "EUCLIDEAN"},
+        ])
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(600, 8)).astype(np.float32)
+        recs = [{"ID": i, "Doc": f"d{i}",
+                 "Loc": {"latitude": float(i % 90), "longitude": -float(i % 180)},
+                 "Sp": {"indices": [i % 50], "values": [1.0]},
+                 "V": x[i].tolist()} for i in range(600)]
+        vdb.insert("t", recs)
+        vdb.delete_by_pk("t", [17])
+        assert vdb.rebuild() == 0           # builds the graph (n >= 100)
+        code, before = vdb.query("t", "V", x[5].tolist(), ["ID", "Doc"],
+                                 5, "", True)
+        assert vdb.export_reference_format("rt") == 0
+        vdb.unload_db("rt")
+
+        # Remove this engine's own artifacts: only reference-format files
+        # (+ catalog, shared format) remain.
+        tid_dir = None
+        import glob, os
+        for p in glob.glob(db_path + "/*/data.vdb"):
+            tid_dir = os.path.dirname(p)
+            os.remove(p)
+        for p in glob.glob(db_path + "/*/ann_graph_*.npz"):
+            os.remove(p)
+        assert tid_dir and os.path.exists(
+            os.path.join(tid_dir, "data_mvp.bin"))
+        assert glob.glob(db_path + "/*/ann_graph_*.bin")
+
+        vdb.load_db("rt", db_path)
+        vdb.use_db("rt")
+        tbl = vdb._db.databases["rt"].tables["t"]
+        assert tbl.segment.record_number == 600
+        assert tbl.graphs["V"] is not None   # CSR graph imported
+        code, after = vdb.query("t", "V", x[5].tolist(), ["ID", "Doc"],
+                                5, "", True)
+        assert [r["ID"] for r in after] == [r["ID"] for r in before]
+        assert after[0]["@distance"] == pytest.approx(
+            before[0]["@distance"])
+        # Deleted row stays deleted; sparse and geo columns survive.
+        assert 17 not in [r["ID"] for r in after]
+        code, rows = vdb.get("t", ["Sp", "Loc", "Doc"], [5])
+        assert rows[0]["Sp"] == {"indices": [5], "values": [1.0]}
+        assert rows[0]["Loc"]["latitude"] == 5.0

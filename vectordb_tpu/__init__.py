@@ -174,6 +174,13 @@ def dump_db(db_name: str, db_path: str) -> int:
     return _engine().dump_db(db_name, db_path).code
 
 
+def export_reference_format(db_name: Optional[str] = None) -> int:
+    """Write the database's state as the reference C++ engine's binary
+    artifacts inside its own data directory (rollback / two-way migration;
+    see compat.py)."""
+    return _engine().export_reference_format(db_name or _db_name).code
+
+
 def update_config(cfg: Dict[str, Any]) -> int:
     ok, swap = global_config.update(cfg)
     if not ok:
@@ -197,5 +204,6 @@ __all__ = [
     "TableSchema", "global_config",
     "load_db", "use_db", "create_table", "insert", "delete_by_pk", "delete",
     "query", "hybrid_query", "get", "insert_columns", "drop_table", "unload_db", "statistics",
-    "rebuild", "dump_db", "update_config", "InitTableScale",
+    "rebuild", "dump_db", "update_config", "export_reference_format",
+    "InitTableScale",
 ]

@@ -265,3 +265,96 @@ def load_reference_graph(path: str, segment, field_name: str,
                 f"{total_edges} edges, degree<= {r}, nav {nav}")
     return GraphIndex(segment, field_name, metric, adjacency, int(nav),
                       int(n))
+
+
+# ---------------------------------------------------------------------------
+# Export (two-way migration / rollback): write this engine's state as the
+# reference's binary artifacts so the C++ engine can open the database.
+# ---------------------------------------------------------------------------
+
+
+def save_reference_segment(path: str, schema: TableSchema,
+                           segment) -> None:
+    """Write the segment as a reference-format data_mvp.bin
+    (writer layout: table_segment_mvp.cpp:939-1010)."""
+    from .utils import atomic_write_bytes
+
+    n = segment.record_number
+    prim, var_len, dense, stride = _classify(schema)
+    out = bytearray()
+    out += struct.pack("<Qq", n, segment.first_record_id)
+    # Minimal bitmap: ceil(n/8) bytes, LSB-first — the reference reader
+    # copies exactly bitset_size bytes into a capacity-sized bitset, so the
+    # minimal form is safe for any init_table_scale >= n.
+    bitset = np.packbits(segment.deleted[:n], bitorder="little")
+    out += struct.pack("<q", len(bitset))
+    out += bitset.tobytes()
+
+    if stride:
+        attr = np.zeros((n, stride), dtype=np.uint8)
+        for f, col_off in prim:
+            ft = f.field_type
+            if ft == FieldType.GEO_POINT:
+                lat, lon = segment.geo_cols[f.name]
+                pair = np.empty((n, 2), dtype="<f8")
+                pair[:, 0] = lat[:n]
+                pair[:, 1] = lon[:n]
+                attr[:, col_off:col_off + 16] = pair.view(
+                    np.uint8).reshape(n, 16)
+            else:
+                size = _PRIMITIVE_SIZES[ft]
+                vals = segment.primitive_cols[f.name][:n]
+                if ft == FieldType.BOOL:
+                    vals = vals.astype(np.int8)
+                vals = np.ascontiguousarray(
+                    vals.astype(np.dtype(_PRIMITIVE_NP[ft]).newbyteorder(
+                        "<")))
+                attr[:, col_off:col_off + size] = vals.view(
+                    np.uint8).reshape(n, size)
+        out += attr.tobytes()
+
+    for r_idx in range(n):
+        for f in var_len:
+            if f.field_type in SPARSE_VECTOR_TYPES:
+                sv = segment.sparse_cols[f.name][r_idx]
+                if sv is None:
+                    payload = b""
+                else:
+                    el = np.zeros(len(sv.indices), dtype=_SPARSE_ELEM)
+                    el["index"] = sv.indices.astype(np.uint64)
+                    el["value"] = sv.values.astype(np.float32)
+                    payload = el.tobytes()
+            else:
+                v = segment.varlen_cols[f.name][r_idx]
+                payload = ("" if v is None else str(v)).encode("utf-8")
+            out += struct.pack("<q", len(payload)) + payload
+
+    for f in dense:
+        out += np.ascontiguousarray(
+            segment.dense_host[f.name][:n], dtype="<f4").tobytes()
+    out += struct.pack("<q", segment.wal_global_id)
+    atomic_write_bytes(path, bytes(out))
+    logger.info(f"Exported reference segment {path}: {n} rows")
+
+
+def save_reference_graph(path: str, graph) -> None:
+    """Write a GraphIndex as a reference-format CSR graph
+    (writer layout: ann_graph_segment.cpp:156-199). Padding (-1) entries
+    are dropped; edge order within a row is preserved."""
+    from .utils import atomic_write_bytes
+
+    adj = graph.adjacency_host[: graph.num_rows]
+    n = int(graph.num_rows)
+    valid = adj >= 0
+    degrees = valid.sum(axis=1).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype="<i8")
+    np.cumsum(degrees, out=offsets[1:])
+    neighbors = adj[valid].astype("<i8")  # row-major: row order preserved
+    out = bytearray()
+    out += struct.pack("<Qq", n, 0)
+    out += offsets.tobytes()
+    out += neighbors.tobytes()
+    out += struct.pack("<q", int(graph.nav_point))
+    atomic_write_bytes(path, bytes(out))
+    logger.info(f"Exported reference CSR graph {path}: {n} rows, "
+                f"{int(offsets[-1])} edges")

@@ -144,6 +144,24 @@ class DBServer:
         # never be loaded.
         return self.catalog.save(db_name, path)
 
+    def export_reference_format(self, db_name: str) -> Status:
+        """Write every table's state as the reference C++ engine's binary
+        artifacts (data_mvp.bin + ann_graph_<fid>.bin) inside the db path —
+        the catalog is already the shared JSON format, so the reference
+        engine can open the directory directly (rollback / two-way
+        migration; see compat.py). Sharded (multi-chip) graphs are not
+        exported — rebuild single-chip first."""
+        from .errors import DB_NOT_FOUND
+
+        db = self.get_db(db_name)
+        if db is None:
+            return Status(DB_NOT_FOUND, "DB not found: " + db_name)
+        for table in db.tables.values():
+            status = table.export_reference_format()
+            if not status.ok():
+                return status
+        return self.catalog.save(db_name)
+
     def get_db(self, db_name: str) -> Optional[Database]:
         db = self.databases.get(db_name)
         return db if db is not None else None

@@ -1064,6 +1064,30 @@ class Table:
         except Exception as e:
             logger.debug(f"warmup skipped for {field_name}: {e}")
 
+    def export_reference_format(self) -> Status:
+        """Write this table's state as the reference engine's binary
+        artifacts (data_mvp.bin + ann_graph_<field_id>.bin, see compat.py)
+        beside this engine's own, so the C++ reference engine can open the
+        database directory (rollback / two-way migration). The snapshot
+        carries the current wal_global_id, so the reference replays only
+        text WAL entries newer than this export (binary .blog files are
+        invisible to it)."""
+        from . import compat
+        from .utils import ensure_dir
+
+        tdir = os.path.join(self.db_path, str(self.schema.id))
+        ensure_dir(tdir)
+        with self.segment.data_lock:
+            compat.save_reference_segment(
+                os.path.join(tdir, "data_mvp.bin"), self.schema,
+                self.segment)
+        fmap = self.schema.field_map()
+        for name, g in self.graphs.items():
+            if g is not None:
+                compat.save_reference_graph(
+                    os.path.join(tdir, f"ann_graph_{fmap[name].id}.bin"), g)
+        return Status.OK()
+
     def swap_executors(self) -> Status:
         """Config changed: nothing to swap in the batched design (pools do
         not exist); kernel parameters are read per call."""
