@@ -295,3 +295,19 @@ class TestQueryByContent:
             eng.stop()
         finally:
             httpd.shutdown()
+
+
+def test_export_reference_endpoint(rest, tmp_path):
+    import glob
+    code, resp = call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+    assert code == 200
+    code, resp = call(rest, "POST", "/api/db1/data/insert",
+                      {"table": "t", "data": RECORDS})
+    assert code == 200
+    code, resp = call(rest, "POST", "/api/exportreference",
+                      {"name": "db1"})
+    assert code == 200, resp
+    assert glob.glob(str(tmp_path / "db1" / "*" / "data_mvp.bin"))
+    code, resp = call(rest, "POST", "/api/exportreference",
+                      {"name": "nosuch"})
+    assert code == 404

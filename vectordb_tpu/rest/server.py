@@ -46,6 +46,9 @@ class RestServer:
         r("GET", r"^/state$", self.state)
         r("POST", r"^/api/load$", self.load_db)
         r("POST", r"^/api/dump$", self.dump_db)
+        # Extension (no reference equivalent): write reference-engine
+        # binary artifacts for rollback / two-way migration (compat.py).
+        r("POST", r"^/api/exportreference$", self.export_reference)
         r("POST", r"^/api/rebuild$", self.rebuild)
         r("POST", r"^/api/setleader$", self.set_leader)
         r("POST", r"^/api/config$", self.update_config)
@@ -132,6 +135,18 @@ class RestServer:
         if not status.ok():
             return _status(500, status.message)
         return _status(200, f"Dump {name} successfully.")
+
+    def export_reference(self, params, body, headers):
+        if body is None:
+            return _status(400, "Invalid payload.")
+        name = body.get("name", "")
+        status = self.db.export_reference_format(name)
+        if status.code == DB_NOT_FOUND:
+            return _status(404, status.message)
+        if not status.ok():
+            return _status(500, status.message)
+        return _status(200, f"Export {name} in reference format "
+                            "successfully.")
 
     def create_table(self, params, body, headers):
         if body is None:
