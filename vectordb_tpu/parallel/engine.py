@@ -635,19 +635,19 @@ class ShardedDenseField:
             self._mask_cache = (version, dm)
         return dm
 
-    def search(self, queries_padded: np.ndarray, valid: np.ndarray,
+    def launch(self, queries_padded: np.ndarray, valid: np.ndarray,
                metric: MetricType, k: int, use_graph: bool,
                beam_width: int, expand: int, term_width: int,
-               mask_version: Optional[int] = None,
-               compact: int = 0) -> np.ndarray:
-        """[B, Dp] padded queries -> [B, k] global candidate ids (-1 pad)."""
+               mask_version: Optional[int] = None, compact: int = 0):
+        """[B, Dp] padded queries -> DEVICE (d, ids) handles, globally
+        re-ranked top-k (async; fetch with jax.device_get)."""
         st = self.store
         mask_dev = self._sharded_mask(valid, mask_version)
         q = jnp.asarray(queries_padded)
         g = self.graph
         if use_graph and g is not None:
             tail = st.length > g.num_rows
-            d, ids = sharded_graph_query(
+            return sharded_graph_query(
                 q, st.buf, st.norms, g.adjacency, g.rep_ids, mask_dev,
                 mesh=self.mesh, metric=int(metric),
                 beam_width=int(beam_width), expand=int(expand),
@@ -655,11 +655,24 @@ class ShardedDenseField:
                 term_width=int(term_width), k=int(k),
                 tail_start=int(g.num_rows // st.n_shards),
                 has_tail=bool(tail), compact=int(compact))
-        else:
-            d, ids = sharded_flat_query(
-                q, st.buf, st.norms, mask_dev, mesh=self.mesh,
-                metric=int(metric), k=int(k))
-        d_h, ids_h = jax.device_get((d, ids))  # one round trip
+        return sharded_flat_query(
+            q, st.buf, st.norms, mask_dev, mesh=self.mesh,
+            metric=int(metric), k=int(k))
+
+    @staticmethod
+    def fetch(dev) -> np.ndarray:
+        """Blocking fetch of launch() handles -> [B, k] global ids."""
+        d_h, ids_h = jax.device_get(dev)  # one round trip
         ids_h = ids_h.astype(np.int64)
         ids_h[~np.isfinite(d_h)] = -1
         return ids_h
+
+    def search(self, queries_padded: np.ndarray, valid: np.ndarray,
+               metric: MetricType, k: int, use_graph: bool,
+               beam_width: int, expand: int, term_width: int,
+               mask_version: Optional[int] = None,
+               compact: int = 0) -> np.ndarray:
+        """[B, Dp] padded queries -> [B, k] global candidate ids (-1 pad)."""
+        return self.fetch(self.launch(
+            queries_padded, valid, metric, k, use_graph, beam_width,
+            expand, term_width, mask_version, compact))

@@ -431,7 +431,8 @@ class Table:
                 h["mask_cacheable"] = mask_cacheable = False
                 h["filter_ctx"] = None
             h["mode"] = "sharded"
-            h["cand_ids"] = self._sharded_candidates(
+            h["sf"] = sharded
+            h["dev"], h["shard_ctx"] = self._sharded_launch(
                 sharded, field_name, queries, valid, metric, k_eff, n,
                 n_alive, mask_cacheable)
             return h
@@ -493,7 +494,21 @@ class Table:
         mask_cacheable, filter_ctx = h["mask_cacheable"], h["filter_ctx"]
 
         if h["mode"] == "sharded":
-            cand_ids = h["cand_ids"]
+            d_h, ids_h = h["dev_host"]
+            cand_ids = np.asarray(ids_h).astype(np.int64)
+            cand_ids[~np.isfinite(np.asarray(d_h))] = -1
+            ctx = h["shard_ctx"]
+            if ctx["use_graph"]:
+                # Selective-filter top-up (guarantees full k) — rare, so
+                # it stays a synchronous second round trip.
+                per_query_valid = (cand_ids >= 0).sum(axis=1)
+                if per_query_valid.min() < min(k_eff, n_alive):
+                    f_ids = h["sf"].search(
+                        ctx["qp"], ctx["valid"], metric, ctx["k_cand"],
+                        use_graph=False, beam_width=ctx["beam"],
+                        expand=self.config.beam_expand,
+                        term_width=ctx["term"], mask_version=ctx["ver"])
+                    cand_ids = np.concatenate([cand_ids, f_ids], axis=1)
         elif h["mode"] == "graph":
             d_h, ids_h = h["dev_host"]
             cand_ids = ids_h.astype(np.int64)
@@ -524,12 +539,13 @@ class Table:
         return self._rerank_candidates(field_name, queries, cand_ids,
                                        metric, k_eff, b_real)
 
-    def _sharded_candidates(self, sf, field_name: str, queries: np.ndarray,
-                            valid: np.ndarray, metric: MetricType,
-                            k_eff: int, n: int, n_alive: int,
-                            mask_cacheable: bool) -> np.ndarray:
-        """Candidate generation on the sharded data plane: per-shard beam
-        (+tail) or per-shard flat, all_gather-merged to GLOBAL ids."""
+    def _sharded_launch(self, sf, field_name: str, queries: np.ndarray,
+                        valid: np.ndarray, metric: MetricType,
+                        k_eff: int, n: int, n_alive: int,
+                        mask_cacheable: bool):
+        """Launch candidate generation on the sharded data plane: per-shard
+        beam (+tail) or per-shard flat, all_gather-merged to GLOBAL ids.
+        Returns (device handles, context for collect's top-up)."""
         seg = self.segment
         sf.sync(seg.dense_host[field_name], seg.dense_norms[field_name], n)
         qp = np.zeros((queries.shape[0], sf.store.dim_padded),
@@ -557,20 +573,12 @@ class Table:
         if compact and sf.graph is not None:
             r_shard = sf.graph.adjacency_host.shape[2]
             compact = compact * r_shard // max(r_single, 1)
-        cand_ids = sf.search(qp, valid, metric, k_cand,
-                             use_graph=use_graph, beam_width=beam,
-                             expand=self.config.beam_expand,
-                             term_width=term, mask_version=ver,
-                             compact=compact)
-        if use_graph:
-            per_query_valid = (cand_ids >= 0).sum(axis=1)
-            if per_query_valid.min() < min(k_eff, n_alive):
-                f_ids = sf.search(qp, valid, metric, k_cand,
-                                  use_graph=False, beam_width=beam,
-                                  expand=self.config.beam_expand,
-                                  term_width=term, mask_version=ver)
-                cand_ids = np.concatenate([cand_ids, f_ids], axis=1)
-        return cand_ids
+        dev = sf.launch(qp, valid, metric, k_cand, use_graph=use_graph,
+                        beam_width=beam, expand=self.config.beam_expand,
+                        term_width=term, mask_version=ver, compact=compact)
+        ctx = {"qp": qp, "valid": valid, "ver": ver, "use_graph": use_graph,
+               "k_cand": k_cand, "beam": beam, "term": term}
+        return dev, ctx
 
     def _rerank_candidates(self, field_name: str, queries: np.ndarray,
                            cand_ids: np.ndarray, metric: MetricType,
