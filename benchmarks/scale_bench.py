@@ -35,8 +35,15 @@ from bench import (N_TIMED, device_ground_truth, log, make_bench_segment,
 
 def main():
     import vectordb_tpu  # noqa: F401
+    from vectordb_tpu.config import global_config
     from vectordb_tpu.index.graph import GraphIndex
     from vectordb_tpu.schema import MetricType
+
+    cfg = os.environ.get("SCALE_CONFIG", "")
+    if cfg:  # e.g. SCALE_CONFIG='{"IvfKnnThreshold": 1500000}'
+        ok, _ = global_config.update(json.loads(cfg))
+        assert ok, f"bad SCALE_CONFIG: {cfg}"
+        log(f"config override: {cfg}")
 
     n = int(os.environ.get("SCALE_N", 4_000_000))
     dim = int(os.environ.get("SCALE_DIM", 96))

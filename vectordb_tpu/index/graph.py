@@ -398,17 +398,20 @@ class GraphIndex:
         from ..config import global_config as _cfg
         if n >= getattr(_cfg, "ivf_knn_threshold", 3_000_000):
             from ..ops.ivf import ivf_knn
-            ids_h, d_h = ivf_knn(store.buf, store.norms, n, knn_k, metric)
+            # knn_d is only read by the KNN-only prune path; skip both the
+            # d2h fetch (ivf_knn need_dists) and the re-upload (an [N, K]
+            # f32 is 2.5 GB at 10M) when the search-pools path won't
+            # touch it.
+            ids_h, d_h = ivf_knn(store.buf, store.norms, n, knn_k, metric,
+                                 need_dists=not search_pools)
             pad_n = -(-n // PRUNE_BATCH) * PRUNE_BATCH
             if pad_n > n:
                 ids_h = np.pad(ids_h, ((0, pad_n - n), (0, 0)),
                                constant_values=-1)
-                d_h = np.pad(d_h, ((0, pad_n - n), (0, 0)),
-                             constant_values=np.inf)
+                if d_h is not None:
+                    d_h = np.pad(d_h, ((0, pad_n - n), (0, 0)),
+                                 constant_values=np.inf)
             knn_ids = jnp.asarray(ids_h)
-            # knn_d is only read by the KNN-only prune path; at this scale
-            # it is an [N, K] f32 device array (2.5 GB at 10M) — skip the
-            # upload when the search-pools path won't touch it.
             knn_d = None if search_pools else jnp.asarray(d_h)
         else:
             knn_ids, knn_d = exact_knn(store.buf, store.norms, n, knn_k,

@@ -159,7 +159,8 @@ def _probed_knn_batch(ci, members, member_valid, table, probe_ids,
 def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
             cluster_rows: int = 1024, n_probe: int = 8,
             kmeans_iters: int = 8, block: int = 8192,
-            max_clusters: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            max_clusters: int = 4096,
+            need_dists: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sub-quadratic KNN over rows [0, n) of device table [N_pad, D].
 
     Returns HOST numpy (ids [n, k] int32 global rows, d [n, k] f32),
@@ -239,22 +240,31 @@ def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
     _, probe_ids = jax.lax.top_k(-cdist, p)     # [T, P], self first
     t_part = _time.perf_counter()
 
-    # 5. Exact KNN, `group` tiles per dispatch (relay latency amortized).
+    # 5. Exact KNN, `group` tiles per dispatch. Dispatch ALL groups first
+    #    and fetch afterwards: a blocking per-group d2h (measured 16 MB +
+    #    relay rtt each) serializes the device behind the host — deferring
+    #    the fetches lets the groups pipeline back-to-back on device.
+    #    need_dists=False skips the distance fetch entirely (the
+    #    search-pools graph build only consumes the ids).
     out_ids = np.full((n, k), -1, np.int32)
-    out_d = np.full((n, k), np.inf, np.float32)
-    group = min(16, n_tiles)
+    out_d = np.full((n, k), np.inf, np.float32) if need_dists else None
+    group = min(64, n_tiles)
+    handles = []
     for t0_ in range(0, n_tiles, group):
         ti0 = min(t0_, n_tiles - group)  # overlap tail, same shape
         dd, ii = _probed_knn_group(jnp.int32(ti0), members_dev, valid_dev,
                                    table, probe_ids, int(metric), k,
                                    cap, p, group)
+        handles.append((t0_, ti0, ii, dd if need_dists else None))
+    for t0_, ti0, ii, dd in handles:
         ii_h = np.asarray(ii)
-        dd_h = np.asarray(dd)
+        dd_h = np.asarray(dd) if dd is not None else None
         for gi in range(t0_ - ti0, group):
             mrows = members[ti0 + gi]
             okm = mrows >= 0
             out_ids[mrows[okm]] = ii_h[gi][okm]
-            out_d[mrows[okm]] = dd_h[gi][okm]
+            if dd_h is not None:
+                out_d[mrows[okm]] = dd_h[gi][okm]
     logger.info(
         f"ivf_knn: n={n} C={c_real} tiles={n_tiles} cap={cap} probe={p} "
         f"kmeans {t_km - t0:.1f}s partition {t_part - t_km:.1f}s "

@@ -571,7 +571,8 @@ class ShardedGraphIndex:
             rows = np.zeros((pad_n, store.dim_padded), np.float32)
             rows[:ln, : store.dim] = host[g, : store.dim]
             tab_i = jax.device_put(rows, devices[i]).astype(store.dtype)
-            ids_h, _ = ivf_knn(tab_i, None, ln, knn_k, metric)
+            ids_h, _ = ivf_knn(tab_i, None, ln, knn_k, metric,
+                               need_dists=False)
             out[i, :ln] = ids_h
             del tab_i
         return out
