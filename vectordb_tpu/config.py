@@ -69,6 +69,11 @@ class Config:
         # Above this row count, graph builds use IVF-partitioned KNN
         # (ops/ivf.py, sub-quadratic) instead of the exact blocked scan.
         self.ivf_knn_threshold = 3_000_000
+        # Pool-search stage of the graph build (per-node beam search over
+        # the bootstrap KNN graph): beam width and iteration budget. The
+        # stage is the build's linear cost (~0.2 ms/row at 128-d).
+        self.build_search_l = 64
+        self.build_search_iters = 24
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
         """Apply a JSON config update.
@@ -190,6 +195,16 @@ class Config:
                 if not (10_000 <= v <= 1_000_000_000):
                     return False, False
                 self.ivf_knn_threshold = v
+            if "BuildSearchL" in cfg:
+                v = int(cfg["BuildSearchL"])
+                if not (8 <= v <= 1024):
+                    return False, False
+                self.build_search_l = v
+            if "BuildSearchIters" in cfg:
+                v = int(cfg["BuildSearchIters"])
+                if not (1 <= v <= 256):
+                    return False, False
+                self.build_search_iters = v
         return True, swap
 
     def to_dict(self) -> Dict[str, Any]:
@@ -217,6 +232,8 @@ class Config:
             "ShardCount": self.shard_count,
             "IvfKnnThreshold": self.ivf_knn_threshold,
             "QueryBatchWindowMs": self.query_batch_window_ms,
+            "BuildSearchL": self.build_search_l,
+            "BuildSearchIters": self.build_search_iters,
         }
 
 

@@ -445,8 +445,8 @@ class GraphIndex:
         boot_adj = jnp.where(knn_r >= 0, knn_r, -1).astype(jnp.int32)
         boot_reps = jnp.asarray(_make_rep_ids(n, nav))
         pool_size = min(128, max(degree * 2, 64))
-        search_l = 64
-        search_iters = 24
+        search_l = int(_cfg.build_search_l)
+        search_iters = int(_cfg.build_search_iters)
 
         # Fixed-size node batches at dynamic offsets -> exactly one compiled
         # executable for the whole loop; results accumulate on device and

@@ -526,14 +526,16 @@ class ShardedGraphIndex:
                                                      None))),
                 alpha=float(alpha), mesh=mesh, metric=int(metric),
                 knn_k=knn_k, degree=degree, pool_size=pool_size,
-                search_l=64, search_iters=24, batch=batch, qb=qb,
+                search_l=int(_cfg.build_search_l),
+                search_iters=int(_cfg.build_search_iters), batch=batch, qb=qb,
                 chunk=chunk)
         else:
             fwd_dev = _sharded_build(
                 store.buf, store.norms, jax.device_put(local_ns, put1),
                 jax.device_put(reps, put2), alpha=float(alpha), mesh=mesh,
                 metric=int(metric), knn_k=knn_k, degree=degree,
-                pool_size=pool_size, search_l=64, search_iters=24,
+                pool_size=pool_size, search_l=int(_cfg.build_search_l),
+                search_iters=int(_cfg.build_search_iters),
                 batch=batch, qb=qb, chunk=chunk)
         fwd = np.asarray(fwd_dev)  # [S, cap_s, degree], one fetch
 
