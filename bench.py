@@ -55,6 +55,53 @@ def make_clustered(n: int, dim: int, n_queries: int, seed: int = 0,
     return x, queries
 
 
+def relay_calibration(reps: int = 15):
+    """Fixed-work relay/device condition probe (untimed vs the workload).
+
+    Numbers through the tunneled chip swing ~30% by hour; recording a
+    fixed-size calibration alongside every run lets round-over-round
+    comparisons separate engine changes from relay weather. Two probes:
+      - rtt_ms: median round-trip of a trivial jitted op + scalar d2h
+        (the per-call fixed cost every dispatch/fetch pays);
+      - work_ms: median wall time of a fixed 2048x1024 @ 1024x2048 bf16
+        matmul chain (8 deep) + scalar fetch — device throughput under
+        the same relay.
+    Returns {"calib_rtt_ms": ..., "calib_work_ms": ...}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda v: (v * 1.0000001).sum())
+    xt = jnp.ones((8, 128), jnp.float32)
+    float(tiny(xt))  # compile
+    rtts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(tiny(xt))
+        rtts.append(time.perf_counter() - t0)
+
+    def chain(a, b):
+        def step(c, _):
+            return jnp.tanh(c @ b), None
+        c, _ = jax.lax.scan(step, a, None, length=8)
+        return c.sum()
+
+    work = jax.jit(chain)
+    a = jnp.ones((2048, 1024), jnp.bfloat16)
+    b = jnp.ones((1024, 1024), jnp.bfloat16)
+    float(work(a, b))  # compile
+    works = []
+    for _ in range(max(3, reps // 3)):
+        t0 = time.perf_counter()
+        float(work(a, b))
+        works.append(time.perf_counter() - t0)
+    out = {"calib_rtt_ms": round(float(np.median(rtts)) * 1e3, 2),
+           "calib_work_ms": round(float(np.median(works)) * 1e3, 2)}
+    log(f"relay calibration: rtt {out['calib_rtt_ms']} ms, "
+        f"fixed-work {out['calib_work_ms']} ms")
+    return out
+
+
 def device_ground_truth(x: np.ndarray, xn: np.ndarray,
                         queries: np.ndarray, k: int,
                         batch: int = 2048) -> np.ndarray:
@@ -197,6 +244,7 @@ def main():
     # 4 batches of 2048: the pipelined runner overlaps host re-rank with
     # the next batch's kernel (single-batch passes can't).
     dim, k, n_queries, batch = 128, 10, 8192, 2048
+    calib = relay_calibration()
     x, queries = make_clustered(n, dim, n_queries)
     seg, schema = make_bench_segment(n, dim, x)
 
@@ -331,6 +379,7 @@ def main():
         "numpy_brute_qps": round(cpu_qps, 1),
         "n_queries": n_queries,
         "batch": batch,
+        **calib,
     }))
 
 

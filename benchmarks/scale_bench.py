@@ -30,7 +30,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import (N_TIMED, device_ground_truth, log, make_bench_segment,
-                   make_clustered, make_shim, run_batches)  # noqa: E402
+                   make_clustered, make_shim, relay_calibration,
+                   run_batches)  # noqa: E402
 
 
 def main():
@@ -49,6 +50,10 @@ def main():
     dim = int(os.environ.get("SCALE_DIM", 96))
     n_queries = int(os.environ.get("SCALE_NQ", 2048))
     k, batch = 10, 2048
+
+    # Relay-condition probe (fixed work): build/QPS numbers through the
+    # tunneled chip swing ~30%+ by hour — record the weather with the run.
+    calib = relay_calibration()
 
     t0 = time.time()
     x, queries = make_clustered(n, dim, n_queries)
@@ -133,6 +138,7 @@ def main():
         "batch_p99_ms": round(p99_ms, 1),
         "qps_runs": [round(r, 1) for r in qps_runs],
         "n": n, "dim": dim, "n_queries": n_queries,
+        **calib,
     }
     print(json.dumps(result), flush=True)
     out_path = os.environ.get(

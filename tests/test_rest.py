@@ -144,6 +144,35 @@ class TestEndpoints:
         assert global_config.search_ef == 64
         global_config.search_ef = 128  # restore
 
+    def test_config_build_search_params(self, rest):
+        from vectordb_tpu.config import global_config
+        old_l, old_it = (global_config.build_search_l,
+                         global_config.build_search_iters)
+        try:
+            code, _ = call(rest, "POST", "/api/config",
+                           {"BuildSearchL": 48, "BuildSearchIters": 16})
+            assert code == 200
+            assert global_config.build_search_l == 48
+            assert global_config.build_search_iters == 16
+            # Out-of-range values are rejected and leave config unchanged.
+            code, _ = call(rest, "POST", "/api/config",
+                           {"BuildSearchL": 4})
+            assert code == 500
+            assert global_config.build_search_l == 48
+            code, _ = call(rest, "POST", "/api/config",
+                           {"BuildSearchIters": 300})
+            assert code == 500
+            assert global_config.build_search_iters == 16
+            # 0 = auto is accepted and resolves to the measured policy.
+            code, _ = call(rest, "POST", "/api/config",
+                           {"BuildSearchL": 0, "BuildSearchIters": 0})
+            assert code == 200
+            from vectordb_tpu.index.graph import resolve_build_search_params
+            assert resolve_build_search_params(500_000) == (24, 8)
+        finally:
+            global_config.build_search_l = old_l
+            global_config.build_search_iters = old_it
+
     def test_setleader(self, rest):
         code, resp = call(rest, "POST", "/api/setleader", {"leader": False})
         assert code == 200

@@ -72,8 +72,10 @@ class Config:
         # Pool-search stage of the graph build (per-node beam search over
         # the bootstrap KNN graph): beam width and iteration budget. The
         # stage is the build's linear cost (~0.2 ms/row at 128-d).
-        self.build_search_l = 64
-        self.build_search_iters = 24
+        # 0 = auto (index.graph resolves a measured size-based policy);
+        # explicit values pin both stages.
+        self.build_search_l = 0
+        self.build_search_iters = 0
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
         """Apply a JSON config update.
@@ -197,12 +199,12 @@ class Config:
                 self.ivf_knn_threshold = v
             if "BuildSearchL" in cfg:
                 v = int(cfg["BuildSearchL"])
-                if not (8 <= v <= 1024):
+                if not (v == 0 or 8 <= v <= 1024):  # 0 = auto
                     return False, False
                 self.build_search_l = v
             if "BuildSearchIters" in cfg:
                 v = int(cfg["BuildSearchIters"])
-                if not (1 <= v <= 256):
+                if not (v == 0 or 1 <= v <= 256):  # 0 = auto
                     return False, False
                 self.build_search_iters = v
         return True, swap

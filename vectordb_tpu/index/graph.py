@@ -55,6 +55,28 @@ MID_REPS = 16384          # n/16 cap up to ~2.6M rows (measured regime)
 MAX_REPS = 49152
 
 
+def resolve_build_search_params(n: int) -> Tuple[int, int]:
+    """Pool-search (beam L, iterations) for the build stage: explicit
+    config values win; 0 means auto.
+
+    Auto policy (measured, benchmarks/build_param_sweep_500k.jsonl and
+    scale_results.jsonl): (24, 8) produces graphs with final recall
+    IDENTICAL to (64, 24) at 500k x 128 (1.0 / 1.0), 500k x 960
+    (1.0 / 1.0) and 10M x 96 (0.9938 / 0.9938) while roughly halving the
+    pool stage — the build's linear cost and the dominant term above the
+    exact-KNN scale.
+    """
+    from ..config import global_config as _cfg
+
+    sl = int(getattr(_cfg, "build_search_l", 0) or 0)
+    it = int(getattr(_cfg, "build_search_iters", 0) or 0)
+    if sl <= 0:
+        sl = 24
+    if it <= 0:
+        it = 8
+    return sl, it
+
+
 def _make_rep_ids(n: int, nav: int) -> np.ndarray:
     s = int(min(MID_REPS, max(MIN_REPS, n // 16)))
     if n > MID_REPS * 16:  # grow as sqrt(N) past the measured regime
@@ -445,8 +467,7 @@ class GraphIndex:
         boot_adj = jnp.where(knn_r >= 0, knn_r, -1).astype(jnp.int32)
         boot_reps = jnp.asarray(_make_rep_ids(n, nav))
         pool_size = min(128, max(degree * 2, 64))
-        search_l = int(_cfg.build_search_l)
-        search_iters = int(_cfg.build_search_iters)
+        search_l, search_iters = resolve_build_search_params(n)
 
         # Fixed-size node batches at dynamic offsets -> exactly one compiled
         # executable for the whole loop; results accumulate on device and

@@ -505,6 +505,8 @@ class ShardedGraphIndex:
         while cap_s % batch:
             batch //= 2
         pool_size = min(128, max(degree * 2, 64))
+        from ..index.graph import resolve_build_search_params
+        b_sl, b_it = resolve_build_search_params(n)
 
         put2 = NamedSharding(mesh, P(SHARD_AXIS, None))
         put1 = NamedSharding(mesh, P(SHARD_AXIS))
@@ -526,16 +528,14 @@ class ShardedGraphIndex:
                                                      None))),
                 alpha=float(alpha), mesh=mesh, metric=int(metric),
                 knn_k=knn_k, degree=degree, pool_size=pool_size,
-                search_l=int(_cfg.build_search_l),
-                search_iters=int(_cfg.build_search_iters), batch=batch, qb=qb,
+                search_l=b_sl, search_iters=b_it, batch=batch, qb=qb,
                 chunk=chunk)
         else:
             fwd_dev = _sharded_build(
                 store.buf, store.norms, jax.device_put(local_ns, put1),
                 jax.device_put(reps, put2), alpha=float(alpha), mesh=mesh,
                 metric=int(metric), knn_k=knn_k, degree=degree,
-                pool_size=pool_size, search_l=int(_cfg.build_search_l),
-                search_iters=int(_cfg.build_search_iters),
+                pool_size=pool_size, search_l=b_sl, search_iters=b_it,
                 batch=batch, qb=qb, chunk=chunk)
         fwd = np.asarray(fwd_dev)  # [S, cap_s, degree], one fetch
 
