@@ -4,8 +4,9 @@ runs cannot masquerade as a graph-quality difference (observed: 20-35%
 QPS swings between back-to-back identical runs).
 
 Env: AB_N (default 500_000), AB_DIM (960), AB_CONFIGS ("64,24;24,8"),
-AB_PASSES (5 per config), SWEEP_GT (optional gt cache, same as
-build_param_sweep). Prints one JSON line per config.
+AB_PASSES (5 per config), AB_DATA ("clustered" | "uniform"), SWEEP_GT
+(optional gt cache, same as build_param_sweep). Prints one JSON line per
+config.
 """
 from __future__ import annotations
 
@@ -35,11 +36,25 @@ def main():
                for c in os.environ.get("AB_CONFIGS", "64,24;24,8").split(";")]
 
     calib = relay_calibration()
-    x, queries = make_clustered(n, dim, n_queries)
+    data_kind = os.environ.get("AB_DATA", "clustered")
+    if data_kind == "uniform":
+        # Uniform gaussian: no cluster structure, the hardest regime for
+        # graph recall (every neighborhood looks alike) — validates that a
+        # pool-search policy tuned on clustered data doesn't degrade here.
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(n, dim)).astype(np.float32)
+        queries = (x[rng.integers(0, n, n_queries)]
+                   + 0.1 * rng.normal(size=(n_queries, dim)).astype(np.float32))
+    else:
+        x, queries = make_clustered(n, dim, n_queries)
     xn = (x ** 2).sum(1)
     gt = None
     gt_path = os.environ.get("SWEEP_GT", "")
-    if gt_path and os.path.exists(gt_path):
+    # Shape alone can't distinguish ground truth computed from a different
+    # data distribution — require the data kind in the cache filename so a
+    # clustered-run cache is never scored against uniform data.
+    if (gt_path and os.path.exists(gt_path)
+            and data_kind in os.path.basename(gt_path)):
         cand = np.load(gt_path)
         if cand.shape == (n_queries, k):
             gt = cand

@@ -337,3 +337,57 @@ class TestExportRoundTrip:
         code, rows = vdb.get("t", ["Sp", "Loc", "Doc"], [5])
         assert rows[0]["Sp"] == {"indices": [5], "values": [1.0]}
         assert rows[0]["Loc"]["latitude"] == 5.0
+
+    def test_export_preserves_nulls(self, tmp_path):
+        """Never-set var-len values (None) survive an export->reimport
+        round trip via the NULL sidecar; the reference format itself
+        flattens them to ""/empty-sparse, which our importer restores."""
+        import glob
+        import os
+
+        import numpy as np
+
+        db_path = str(tmp_path / "nulls")
+        vdb.load_db("nulls", db_path)
+        vdb.use_db("nulls")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Doc", "dataType": "STRING"},
+            {"name": "Sp", "dataType": "SPARSE_VECTOR_FLOAT",
+             "dimensions": 10, "metricType": "COSINE"},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 4,
+             "metricType": "EUCLIDEAN"},
+        ])
+        recs = [{"ID": i, "Doc": f"d{i}",
+                 "Sp": {"indices": [i % 10], "values": [1.0]},
+                 "V": np.eye(4)[i % 4].tolist()} for i in range(8)]
+        vdb.insert("t", recs)
+        seg = vdb._db.databases["nulls"].tables["t"].segment
+        # Rows with never-set var-len values (insert_columns / partial WAL
+        # replay leave None).
+        seg.varlen_cols["Doc"][3] = None
+        seg.sparse_cols["Sp"][5] = None
+        assert vdb.export_reference_format("nulls") == 0
+        tdir = os.path.dirname(glob.glob(db_path + "/*/data_mvp.bin")[0])
+        assert os.path.exists(os.path.join(tdir, "data_mvp.bin.nulls.npz"))
+        vdb.unload_db("nulls")
+        for p in glob.glob(db_path + "/*/data.vdb"):
+            os.remove(p)
+
+        vdb.load_db("nulls", db_path)
+        vdb.use_db("nulls")
+        seg2 = vdb._db.databases["nulls"].tables["t"].segment
+        assert seg2.varlen_cols["Doc"][3] is None
+        assert seg2.varlen_cols["Doc"][2] == "d2"
+        assert seg2.sparse_cols["Sp"][5] is None
+        assert seg2.sparse_cols["Sp"][4] is not None
+
+        # A second export with no NULLs left removes the stale sidecar.
+        seg2.varlen_cols["Doc"][3] = "filled"
+        from vectordb_tpu.ops.sparse import SparseVector
+        seg2.sparse_cols["Sp"][5] = SparseVector(
+            np.array([5]), np.array([1.0], np.float32))
+        assert vdb.export_reference_format("nulls") == 0
+        assert not os.path.exists(
+            os.path.join(tdir, "data_mvp.bin.nulls.npz"))
+        vdb.unload_db("nulls")

@@ -159,6 +159,13 @@ class TestEndpoints:
                            {"BuildSearchL": 4})
             assert code == 500
             assert global_config.build_search_l == 48
+            # Transactional: a multi-key payload with ONE bad value leaves
+            # every key unchanged, including the valid ones before it.
+            code, _ = call(rest, "POST", "/api/config",
+                           {"BuildSearchL": 96, "BuildSearchIters": 300})
+            assert code == 500
+            assert global_config.build_search_l == 48
+            assert global_config.build_search_iters == 16
             code, _ = call(rest, "POST", "/api/config",
                            {"BuildSearchIters": 300})
             assert code == 500
@@ -168,7 +175,7 @@ class TestEndpoints:
                            {"BuildSearchL": 0, "BuildSearchIters": 0})
             assert code == 200
             from vectordb_tpu.index.graph import resolve_build_search_params
-            assert resolve_build_search_params(500_000) == (24, 8)
+            assert resolve_build_search_params() == (24, 8)
         finally:
             global_config.build_search_l = old_l
             global_config.build_search_iters = old_it

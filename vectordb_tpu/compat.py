@@ -197,6 +197,22 @@ def load_reference_segment(path: str, schema: TableSchema, segment) -> None:
 
     wal_global_id = take("<q")
 
+    # NULL sidecar (written by save_reference_segment, absent for
+    # directories produced by the C++ engine): restore None for var-len
+    # values the reference format had to flatten to ""/empty-sparse.
+    nulls_path = path + ".nulls.npz"
+    if os.path.exists(nulls_path):
+        with np.load(nulls_path) as z:
+            for name in z.files:
+                mask = np.unpackbits(z[name], bitorder="little")[:n]
+                col = (segment.sparse_cols.get(name)
+                       if name in segment.sparse_cols
+                       else segment.varlen_cols.get(name))
+                if col is None:
+                    continue
+                for r in np.nonzero(mask)[0].tolist():
+                    col[r] = None
+
     segment.record_number = int(n)
     segment.first_record_id = int(first_record_id)
     segment.wal_global_id = int(wal_global_id)
@@ -313,12 +329,19 @@ def save_reference_segment(path: str, schema: TableSchema,
                     np.uint8).reshape(n, size)
         out += attr.tobytes()
 
+    # The reference format cannot represent NULL var-len values (every row
+    # stores a payload), so None exports as ""/empty-sparse. A sidecar
+    # bitmap (ignored by the reference engine, consumed by our importer)
+    # keeps the round trip lossless for NULLs.
+    null_maps = {}
     for r_idx in range(n):
         for f in var_len:
             if f.field_type in SPARSE_VECTOR_TYPES:
                 sv = segment.sparse_cols[f.name][r_idx]
                 if sv is None:
                     payload = b""
+                    null_maps.setdefault(
+                        f.name, np.zeros(n, bool))[r_idx] = True
                 else:
                     el = np.zeros(len(sv.indices), dtype=_SPARSE_ELEM)
                     el["index"] = sv.indices.astype(np.uint64)
@@ -326,6 +349,9 @@ def save_reference_segment(path: str, schema: TableSchema,
                     payload = el.tobytes()
             else:
                 v = segment.varlen_cols[f.name][r_idx]
+                if v is None:
+                    null_maps.setdefault(
+                        f.name, np.zeros(n, bool))[r_idx] = True
                 payload = ("" if v is None else str(v)).encode("utf-8")
             out += struct.pack("<q", len(payload)) + payload
 
@@ -334,7 +360,19 @@ def save_reference_segment(path: str, schema: TableSchema,
             segment.dense_host[f.name][:n], dtype="<f4").tobytes()
     out += struct.pack("<q", segment.wal_global_id)
     atomic_write_bytes(path, bytes(out))
-    logger.info(f"Exported reference segment {path}: {n} rows")
+    nulls_path = path + ".nulls.npz"
+    if null_maps:
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **{k: np.packbits(v, bitorder="little")
+                         for k, v in null_maps.items()})
+        atomic_write_bytes(nulls_path, buf.getvalue())
+    elif os.path.exists(nulls_path):
+        os.remove(nulls_path)  # stale sidecar from an earlier export
+    logger.info(f"Exported reference segment {path}: {n} rows"
+                + (f", NULL sidecar for {sorted(null_maps)}"
+                   if null_maps else ""))
 
 
 def save_reference_graph(path: str, graph) -> None:

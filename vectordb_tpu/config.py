@@ -77,136 +77,80 @@ class Config:
         self.build_search_l = 0
         self.build_search_iters = 0
 
+    # key -> (attribute, converter, validator-or-None, requires_swap).
+    # Declarative so update() can validate EVERY key before applying any:
+    # a rejected multi-key payload must leave the config untouched.
+    _KEYS = {
+        "IntraQueryThreads": ("intra_query_threads", int,
+                              lambda v: 1 <= v <= 128, True),
+        "ConcurrentWorkersPerVectorIndex": ("num_executor_per_field", int,
+                                            lambda v: 1 <= v <= 1024, True),
+        "NumExecutorPerField": ("num_executor_per_field", int,
+                                lambda v: 1 <= v <= 1024, True),
+        "MasterQueueSize": ("master_queue_size", int,
+                            lambda v: 1 <= v <= 16000, True),
+        "LocalQueueSize": ("local_queue_size", int,
+                           lambda v: 1 <= v <= 16000, True),
+        "GlobalSyncInterval": ("global_sync_interval", int,
+                               lambda v: 1 <= v <= 1000, True),
+        "MinimalGraphSize": ("minimal_graph_size", int,
+                             lambda v: 1 <= v <= 1_000_000, False),
+        "RebuildThreads": ("rebuild_threads", int,
+                           lambda v: 1 <= v <= 128, False),
+        "PreFilter": ("pre_filter", bool, None, False),
+        "SearchEf": ("search_ef", int, lambda v: 1 <= v <= 16000, False),
+        "UseBf16Matmul": ("use_bf16_matmul", bool, None, False),
+        "BruteForceThreshold": ("brute_force_threshold", int, None, False),
+        "RebuildIntervalSeconds": ("rebuild_interval_s", float, None, False),
+        "GraphKnnK": ("graph_knn_k", int, lambda v: 4 <= v <= 512, False),
+        "GraphDegree": ("graph_degree", int, lambda v: 4 <= v <= 256, False),
+        "GraphAlpha": ("graph_alpha", float,
+                       lambda v: 1.0 <= v <= 2.0, False),
+        "BeamExpand": ("beam_expand", int, lambda v: 1 <= v <= 32, False),
+        "WalTextFormat": ("wal_text_format", bool, None, False),
+        "BeamTermWidth": ("beam_term_width", int,
+                          lambda v: 0 <= v <= 16000, False),
+        "BeamTraversalDegree": ("beam_traversal_degree", int,
+                                lambda v: 0 <= v <= 512, False),
+        "BeamCompact": ("beam_compact", int,
+                        lambda v: 0 <= v <= 4096, False),
+        "ShardCount": ("shard_count", int, lambda v: 0 <= v <= 4096, False),
+        "QueryBatchWindowMs": ("query_batch_window_ms", float,
+                               lambda v: 0.0 <= v <= 1000.0, False),
+        "IvfKnnThreshold": ("ivf_knn_threshold", int,
+                            lambda v: 10_000 <= v <= 1_000_000_000, False),
+        # 0 = auto (index.graph resolves the measured policy).
+        "BuildSearchL": ("build_search_l", int,
+                         lambda v: v == 0 or 8 <= v <= 1024, False),
+        "BuildSearchIters": ("build_search_iters", int,
+                             lambda v: v == 0 or 1 <= v <= 256, False),
+    }
+
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
         """Apply a JSON config update.
 
         Returns (ok, swap_required) mirroring reference `updateConfig`
         (config.hpp:65-85): swap_required is True when executor-level state
-        (queue sizes / thread counts) changed.
+        (queue sizes / thread counts) changed. Transactional: every key is
+        validated before any is applied, so a rejected payload leaves the
+        config unchanged.
         """
-        swap = False
         with self._lock:
-            if "IntraQueryThreads" in cfg:
-                v = int(cfg["IntraQueryThreads"])
-                if not (1 <= v <= 128):
+            staged = []  # (attr, value, requires_swap)
+            for key, raw in cfg.items():
+                spec = self._KEYS.get(key)
+                if spec is None:
+                    continue  # unknown keys ignored, like the reference
+                attr, conv, check, needs_swap = spec
+                v = conv(raw)
+                if check is not None and not check(v):
                     return False, False
-                if v != self.intra_query_threads:
-                    self.intra_query_threads = v
+                staged.append((attr, v, needs_swap))
+            swap = False
+            for attr, v, needs_swap in staged:
+                if needs_swap and getattr(self, attr) != v:
                     swap = True
-            if "ConcurrentWorkersPerVectorIndex" in cfg or "NumExecutorPerField" in cfg:
-                v = int(cfg.get("ConcurrentWorkersPerVectorIndex",
-                                cfg.get("NumExecutorPerField")))
-                if not (1 <= v <= 1024):
-                    return False, False
-                if v != self.num_executor_per_field:
-                    self.num_executor_per_field = v
-                    swap = True
-            if "MasterQueueSize" in cfg:
-                v = int(cfg["MasterQueueSize"])
-                if not (1 <= v <= 16000):
-                    return False, False
-                if v != self.master_queue_size:
-                    self.master_queue_size = v
-                    swap = True
-            if "LocalQueueSize" in cfg:
-                v = int(cfg["LocalQueueSize"])
-                if not (1 <= v <= 16000):
-                    return False, False
-                if v != self.local_queue_size:
-                    self.local_queue_size = v
-                    swap = True
-            if "GlobalSyncInterval" in cfg:
-                v = int(cfg["GlobalSyncInterval"])
-                if not (1 <= v <= 1000):
-                    return False, False
-                if v != self.global_sync_interval:
-                    self.global_sync_interval = v
-                    swap = True
-            if "MinimalGraphSize" in cfg:
-                v = int(cfg["MinimalGraphSize"])
-                if not (1 <= v <= 1000000):
-                    return False, False
-                self.minimal_graph_size = v
-            if "RebuildThreads" in cfg:
-                v = int(cfg["RebuildThreads"])
-                if not (1 <= v <= 128):
-                    return False, False
-                self.rebuild_threads = v
-            if "PreFilter" in cfg:
-                self.pre_filter = bool(cfg["PreFilter"])
-            if "SearchEf" in cfg:
-                v = int(cfg["SearchEf"])
-                if not (1 <= v <= 16000):
-                    return False, False
-                self.search_ef = v
-            if "UseBf16Matmul" in cfg:
-                self.use_bf16_matmul = bool(cfg["UseBf16Matmul"])
-            if "BruteForceThreshold" in cfg:
-                self.brute_force_threshold = int(cfg["BruteForceThreshold"])
-            if "RebuildIntervalSeconds" in cfg:
-                self.rebuild_interval_s = float(cfg["RebuildIntervalSeconds"])
-            if "GraphKnnK" in cfg:
-                v = int(cfg["GraphKnnK"])
-                if not (4 <= v <= 512):
-                    return False, False
-                self.graph_knn_k = v
-            if "GraphDegree" in cfg:
-                v = int(cfg["GraphDegree"])
-                if not (4 <= v <= 256):
-                    return False, False
-                self.graph_degree = v
-            if "GraphAlpha" in cfg:
-                v = float(cfg["GraphAlpha"])
-                if not (1.0 <= v <= 2.0):
-                    return False, False
-                self.graph_alpha = v
-            if "BeamExpand" in cfg:
-                v = int(cfg["BeamExpand"])
-                if not (1 <= v <= 32):
-                    return False, False
-                self.beam_expand = v
-            if "WalTextFormat" in cfg:
-                self.wal_text_format = bool(cfg["WalTextFormat"])
-            if "BeamTermWidth" in cfg:
-                v = int(cfg["BeamTermWidth"])
-                if not (0 <= v <= 16000):
-                    return False, False
-                self.beam_term_width = v
-            if "BeamTraversalDegree" in cfg:
-                v = int(cfg["BeamTraversalDegree"])
-                if not (0 <= v <= 512):
-                    return False, False
-                self.beam_traversal_degree = v
-            if "BeamCompact" in cfg:
-                v = int(cfg["BeamCompact"])
-                if not (0 <= v <= 4096):
-                    return False, False
-                self.beam_compact = v
-            if "ShardCount" in cfg:
-                v = int(cfg["ShardCount"])
-                if not (0 <= v <= 4096):
-                    return False, False
-                self.shard_count = v
-            if "QueryBatchWindowMs" in cfg:
-                v = float(cfg["QueryBatchWindowMs"])
-                if not (0.0 <= v <= 1000.0):
-                    return False, False
-                self.query_batch_window_ms = v
-            if "IvfKnnThreshold" in cfg:
-                v = int(cfg["IvfKnnThreshold"])
-                if not (10_000 <= v <= 1_000_000_000):
-                    return False, False
-                self.ivf_knn_threshold = v
-            if "BuildSearchL" in cfg:
-                v = int(cfg["BuildSearchL"])
-                if not (v == 0 or 8 <= v <= 1024):  # 0 = auto
-                    return False, False
-                self.build_search_l = v
-            if "BuildSearchIters" in cfg:
-                v = int(cfg["BuildSearchIters"])
-                if not (v == 0 or 1 <= v <= 256):  # 0 = auto
-                    return False, False
-                self.build_search_iters = v
+                setattr(self, attr, v)
         return True, swap
 
     def to_dict(self) -> Dict[str, Any]:

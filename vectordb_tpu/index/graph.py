@@ -55,9 +55,9 @@ MID_REPS = 16384          # n/16 cap up to ~2.6M rows (measured regime)
 MAX_REPS = 49152
 
 
-def resolve_build_search_params(n: int) -> Tuple[int, int]:
+def resolve_build_search_params() -> Tuple[int, int]:
     """Pool-search (beam L, iterations) for the build stage: explicit
-    config values win; 0 means auto.
+    config values win; 0 means auto, which is (24, 8) at every scale.
 
     Auto policy (measured, benchmarks/build_param_sweep_500k.jsonl and
     scale_results.jsonl): (24, 8) produces graphs with final recall
@@ -467,7 +467,7 @@ class GraphIndex:
         boot_adj = jnp.where(knn_r >= 0, knn_r, -1).astype(jnp.int32)
         boot_reps = jnp.asarray(_make_rep_ids(n, nav))
         pool_size = min(128, max(degree * 2, 64))
-        search_l, search_iters = resolve_build_search_params(n)
+        search_l, search_iters = resolve_build_search_params()
 
         # Fixed-size node batches at dynamic offsets -> exactly one compiled
         # executable for the whole loop; results accumulate on device and
@@ -509,6 +509,8 @@ class GraphIndex:
             if real_start != start:
                 fwd_b = fwd_b[start - real_start:]
             fwd_parts.append(fwd_b)
+        if profile and fwd_parts:
+            jax.block_until_ready(fwd_parts)  # true pool+prune lap time
         # Single device->host fetch of the pruned forward edges.
         _lap("fetch")
         fwd = np.ascontiguousarray(

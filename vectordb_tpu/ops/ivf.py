@@ -18,6 +18,7 @@ tail it misses.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -249,14 +250,9 @@ def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
     out_ids = np.full((n, k), -1, np.int32)
     out_d = np.full((n, k), np.inf, np.float32) if need_dists else None
     group = min(64, n_tiles)
-    handles = []
-    for t0_ in range(0, n_tiles, group):
-        ti0 = min(t0_, n_tiles - group)  # overlap tail, same shape
-        dd, ii = _probed_knn_group(jnp.int32(ti0), members_dev, valid_dev,
-                                   table, probe_ids, int(metric), k,
-                                   cap, p, group)
-        handles.append((t0_, ti0, ii, dd if need_dists else None))
-    for t0_, ti0, ii, dd in handles:
+
+    def _drain(handle):
+        t0_, ti0, ii, dd = handle
         ii_h = np.asarray(ii)
         dd_h = np.asarray(dd) if dd is not None else None
         for gi in range(t0_ - ti0, group):
@@ -265,6 +261,23 @@ def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
             out_ids[mrows[okm]] = ii_h[gi][okm]
             if dd_h is not None:
                 out_d[mrows[okm]] = dd_h[gi][okm]
+
+    # Sliding window of in-flight groups: deep enough that the oldest
+    # group's d2h overlaps dispatched device work, bounded so the live
+    # [group, cap, k] outputs never grow O(n) (at 10M rows keeping every
+    # group's ids alive is gigabytes of HBM on top of the table).
+    window = max(2, int(os.environ.get("VDB_IVF_INFLIGHT", 8)))
+    handles = []
+    for t0_ in range(0, n_tiles, group):
+        ti0 = min(t0_, n_tiles - group)  # overlap tail, same shape
+        dd, ii = _probed_knn_group(jnp.int32(ti0), members_dev, valid_dev,
+                                   table, probe_ids, int(metric), k,
+                                   cap, p, group)
+        handles.append((t0_, ti0, ii, dd if need_dists else None))
+        if len(handles) >= window:
+            _drain(handles.pop(0))
+    for handle in handles:
+        _drain(handle)
     logger.info(
         f"ivf_knn: n={n} C={c_real} tiles={n_tiles} cap={cap} probe={p} "
         f"kmeans {t_km - t0:.1f}s partition {t_part - t_km:.1f}s "

@@ -506,7 +506,7 @@ class ShardedGraphIndex:
             batch //= 2
         pool_size = min(128, max(degree * 2, 64))
         from ..index.graph import resolve_build_search_params
-        b_sl, b_it = resolve_build_search_params(n)
+        b_sl, b_it = resolve_build_search_params()
 
         put2 = NamedSharding(mesh, P(SHARD_AXIS, None))
         put1 = NamedSharding(mesh, P(SHARD_AXIS))

@@ -1089,11 +1089,18 @@ class Table:
             compat.save_reference_segment(
                 os.path.join(tdir, "data_mvp.bin"), self.schema,
                 self.segment)
+            # Capture the graph refs while inserts are still blocked: any
+            # graph present here covers <= the snapshot's row count, so the
+            # exported artifacts stay mutually consistent even if a rebuild
+            # swaps in a bigger graph before the writes below finish
+            # (graphs are immutable once built).
+            with self.graph_lock:
+                graphs = {name: g for name, g in self.graphs.items()
+                          if g is not None}
         fmap = self.schema.field_map()
-        for name, g in self.graphs.items():
-            if g is not None:
-                compat.save_reference_graph(
-                    os.path.join(tdir, f"ann_graph_{fmap[name].id}.bin"), g)
+        for name, g in graphs.items():
+            compat.save_reference_graph(
+                os.path.join(tdir, f"ann_graph_{fmap[name].id}.bin"), g)
         return Status.OK()
 
     def swap_executors(self) -> Status:
