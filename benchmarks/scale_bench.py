@@ -16,6 +16,11 @@ Env:
               else build and save there (data is deterministic per N/dim,
               so the cache is valid across runs; build_seconds reports 0
               on cache hits)
+  SCALE_DATASET real dataset instead of synthetic data: ann-benchmarks
+              .hdf5 or a TexMex fvecs directory (benchmarks/datasets.py);
+              overrides SCALE_N/SCALE_DIM, scores against published
+              ground truth when present (zero egress here — the dataset
+              must already be on disk)
 
 Prints one JSON line to stdout; diagnostics to stderr.
 """
@@ -55,9 +60,25 @@ def main():
     # tunneled chip swing ~30%+ by hour — record the weather with the run.
     calib = relay_calibration()
 
-    t0 = time.time()
-    x, queries = make_clustered(n, dim, n_queries)
-    log(f"data gen {n}x{dim}: {time.time() - t0:.1f}s")
+    dataset = os.environ.get("SCALE_DATASET", "")
+    gt_published = None
+    if dataset:
+        # Real dataset (SIFT1M/GIST1M/...): ann-benchmarks hdf5 or TexMex
+        # dir; recall scores against its published ground truth.
+        from datasets import load_dataset
+        x, queries, gt_published, dist_name = load_dataset(dataset)
+        assert dist_name in ("euclidean", "l2"), dist_name
+        n, dim = x.shape
+        queries = queries[:n_queries]
+        if gt_published is not None:
+            gt_published = gt_published[:n_queries, :k]
+        n_queries = queries.shape[0]
+        log(f"dataset {dataset}: {n}x{dim}, {n_queries} queries, "
+            f"gt={'published' if gt_published is not None else 'computed'}")
+    else:
+        t0 = time.time()
+        x, queries = make_clustered(n, dim, n_queries)
+        log(f"data gen {n}x{dim}: {time.time() - t0:.1f}s")
     seg, _ = make_bench_segment(n, dim, x)
 
     cache = os.environ.get("SCALE_GRAPH", "")
@@ -75,8 +96,8 @@ def main():
             log(f"graph saved: {cache}")
 
     gt_cache = os.environ.get("SCALE_GT", "")
-    gt = None
-    if gt_cache and os.path.exists(gt_cache):
+    gt = gt_published
+    if gt is None and gt_cache and os.path.exists(gt_cache):
         # Validated cache: the file carries n/dim so a cache produced by a
         # different run shape cannot be loaded silently.
         try:
@@ -128,8 +149,12 @@ def main():
     log(f"engine: {qps:.0f} qps (runs {[round(r) for r in qps_runs]}) at "
         f"recall@10={recall:.4f}; batch p50 {p50_ms:.1f} ms")
 
+    ds_tag = ""
+    if dataset:
+        ds_tag = os.path.splitext(os.path.basename(
+            dataset.rstrip("/")))[0] + "_"
     result = {
-        "metric": f"scale_qps_{n // 1000}k_{dim}d",
+        "metric": f"scale_qps_{ds_tag}{n // 1000}k_{dim}d",
         "value": round(qps, 1),
         "unit": "qps",
         "recall_at_10": round(recall, 4),
