@@ -380,3 +380,59 @@ class TestSparseFilter:
         assert all(r["Cat"] == "b" for r in res)
         # row 5 has index 5 value 6.0 and Cat 'b' -> best
         assert res[0]["ID"] == 5
+
+
+class TestTuneSearch:
+    def test_tune_search_picks_ef_and_persists(self, tmp_path):
+        """tune_search selects the smallest beam width meeting the recall
+        target, stores it as the field override (used by later queries),
+        and persists it across a reload."""
+        name = make_db(tmp_path, "tunedb")
+        dense_table("EUCLIDEAN", "t", dim=16)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1500, 16)).astype(np.float32)
+        vdb.insert("t", [{"ID": i, "Doc": f"d{i}",
+                          "Embedding": x[i].tolist()}
+                         for i in range(1500)])
+        assert vdb.rebuild() == 0
+        code, report = vdb.tune_search("t", target_recall=0.95, sample=64)
+        assert code == 0 and "Embedding" in report
+        rep = report["Embedding"]
+        assert rep["recall"] >= 0.95
+        assert rep["ef"] in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+        tbl = vdb._db.databases["tunedb"].tables["t"]
+        assert tbl.search_ef_override["Embedding"] == rep["ef"]
+        # Query path still correct with the tuned ef.
+        code, res = vdb.query("t", "Embedding", x[7].tolist(), ["ID"], 5,
+                              "", False)
+        assert res[0]["ID"] == 7
+
+        # Tuned value persists across unload/reload.
+        vdb.unload_db("tunedb")
+        assert vdb.load_db("tunedb", str(tmp_path / "tunedb")) == 0
+        vdb.use_db("tunedb")
+        tbl2 = vdb._db.databases["tunedb"].tables["t"]
+        assert tbl2.search_ef_override["Embedding"] == rep["ef"]
+
+    def test_tune_search_rest_endpoint(self, tmp_path):
+        from tests.test_rest import call
+        from vectordb_tpu.rest.server import RestServer
+
+        import vectordb_tpu as v
+        name = make_db(tmp_path, "tunerest")
+        dense_table("EUCLIDEAN", "tt", dim=8)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(800, 8)).astype(np.float32)
+        vdb.insert("tt", [{"ID": i, "Doc": f"d{i}",
+                           "Embedding": x[i].tolist()}
+                          for i in range(800)])
+        assert vdb.rebuild() == 0
+        rest = RestServer(v._db)
+        code, resp = call(rest, "POST", "/api/tunerest/data/tunesearch",
+                          {"table": "tt", "targetRecall": 0.9,
+                           "sample": 32})
+        assert code == 200, resp
+        assert "Embedding" in resp["result"]
+        code, resp = call(rest, "POST", "/api/tunerest/data/tunesearch",
+                          {"table": "missing"})
+        assert code in (404, 500)

@@ -132,6 +132,18 @@ def hybrid_query(table_name: str, queries: List[Dict[str, Any]],
     return status.code, rows
 
 
+def tune_search(table_name: str, field_name: str = "",
+                target_recall: float = 0.99, sample: int = 256,
+                k: int = 10) -> Tuple[int, Dict[str, Any]]:
+    """Auto-tune per-field SearchEf (beam width) to a recall target; the
+    tuned value persists with the table and overrides the global config."""
+    status, report = _engine().tune_search(
+        _db_name, table_name, field_name, target_recall, sample, k)
+    if not status.ok():
+        raise Exception(status.message)
+    return status.code, report
+
+
 def get(table_name: str, response_fields: Optional[List[str]] = None,
         primary_keys: Optional[List[Any]] = None, filter: str = "",
         skip: int = 0, limit: int = -1,
@@ -203,7 +215,8 @@ __all__ = [
     "DBServer", "Status", "VectorDBError", "FieldType", "MetricType",
     "TableSchema", "global_config",
     "load_db", "use_db", "create_table", "insert", "delete_by_pk", "delete",
-    "query", "hybrid_query", "get", "insert_columns", "drop_table", "unload_db", "statistics",
+    "query", "hybrid_query", "tune_search", "get", "insert_columns",
+    "drop_table", "unload_db", "statistics",
     "rebuild", "dump_db", "update_config", "export_reference_format",
     "InitTableScale",
 ]

@@ -373,6 +373,21 @@ class DBServer:
             return e.status, [], []
         return Status.OK(), rows, facets
 
+    def tune_search(self, db_name: str, table_name: str,
+                    field_name: str = "", target_recall: float = 0.99,
+                    sample: int = 256, k: int = 10
+                    ) -> Tuple[Status, Dict[str, Any]]:
+        """Auto-tune per-field SearchEf to a recall target (extension over
+        the reference API — its queue sizes are static config)."""
+        try:
+            table = self._get_table(db_name, table_name)
+            report = table.tune_search_ef(field_name or None,
+                                          float(target_recall),
+                                          int(sample), int(k))
+        except VectorDBError as e:
+            return e.status, {}
+        return Status.OK(), report
+
     def search_by_content(self, db_name: str, table_name: str,
                           index_name: str, query_fields: List[str],
                           query: str, limit: int, filter_str: str = "",

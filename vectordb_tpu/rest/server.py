@@ -49,6 +49,8 @@ class RestServer:
         # Extension (no reference equivalent): write reference-engine
         # binary artifacts for rollback / two-way migration (compat.py).
         r("POST", r"^/api/exportreference$", self.export_reference)
+        # Extension: auto-tune per-field SearchEf to a recall target.
+        r("POST", r"^/api/(?P<db>[^/]+)/data/tunesearch$", self.tune_search)
         r("POST", r"^/api/rebuild$", self.rebuild)
         r("POST", r"^/api/setleader$", self.set_leader)
         r("POST", r"^/api/config$", self.update_config)
@@ -147,6 +149,20 @@ class RestServer:
             return _status(500, status.message)
         return _status(200, f"Export {name} in reference format "
                             "successfully.")
+
+    def tune_search(self, params, body, headers):
+        if body is None or "table" not in body:
+            return _status(400, "table is missing in your payload.")
+        status, report = self.db.tune_search(
+            params["db"], body["table"], body.get("queryField", ""),
+            float(body.get("targetRecall", 0.99)),
+            int(body.get("sample", 256)), int(body.get("limit", 10)))
+        if status.code == DB_NOT_FOUND:
+            return _status(404, status.message)
+        if not status.ok():
+            return _status(500, status.message)
+        return 200, {"statusCode": 200, "message": "Tuned successfully.",
+                     "result": report}
 
     def create_table(self, params, body, headers):
         if body is None:

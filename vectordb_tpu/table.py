@@ -105,6 +105,10 @@ class Table:
         self.graphs: Dict[str, Any] = {}
         self.graph_lock = threading.Lock()
         self._graph_built_rows: Dict[str, int] = {}
+        # Per-field tuned beam width (tune_search_ef); overrides the global
+        # SearchEf when set. Persisted beside the graph artifacts.
+        self.search_ef_override: Dict[str, int] = {}
+        self._load_tuned_ef()
         # Multi-chip data plane (config.shard_count >= 2): each dense field
         # gets a row-sharded device store + per-shard graphs on the mesh.
         self.sharded_fields: Dict[str, Any] = {}
@@ -371,10 +375,104 @@ class Table:
                 mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
         return ids[0], dists[0]
 
+    def _field_ef(self, field_name: str, ef: Optional[int] = None) -> int:
+        """Beam width for a field: explicit arg > tuned override > global
+        SearchEf config."""
+        if ef:
+            return int(ef)
+        return int(self.search_ef_override.get(field_name, 0)
+                   or self.config.search_ef)
+
+    def _tuned_ef_path(self) -> str:
+        return os.path.join(self.db_path, str(self.schema.id),
+                            "tuned_ef.json")
+
+    def _load_tuned_ef(self) -> None:
+        try:
+            with open(self._tuned_ef_path()) as f:
+                data = json.load(f)
+            self.search_ef_override = {str(k): int(v)
+                                       for k, v in data.items() if int(v) > 0}
+        except (OSError, ValueError):
+            pass
+
+    def _save_tuned_ef(self) -> None:
+        if not self.is_leader:
+            return
+        from .utils import atomic_write_bytes, ensure_dir
+
+        ensure_dir(os.path.dirname(self._tuned_ef_path()))
+        atomic_write_bytes(self._tuned_ef_path(),
+                           json.dumps(self.search_ef_override).encode())
+
+    def tune_search_ef(self, field_name: Optional[str] = None,
+                       target_recall: float = 0.99, sample: int = 256,
+                       k: int = 10) -> Dict[str, Any]:
+        """Pick the smallest beam width (SearchEf) whose recall@k meets
+        `target_recall` for each graph-indexed dense field, store it as the
+        field's override, and persist it (leader-only).
+
+        Sampled alive rows act as self-queries; ground truth is the
+        engine's own exact flat path over the same sample (device fused
+        scan + f32 host re-rank). No reference equivalent — the reference's
+        queue sizes are static config (config.hpp:18-24); an accuracy-
+        targeted auto-tune replaces hand-tuning them per deployment.
+        """
+        ladder = (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+        report: Dict[str, Any] = {}
+        fields = ([field_name] if field_name
+                  else [f for f, g in self.graphs.items() if g is not None])
+        seg = self.segment
+        for fname in fields:
+            if self.graphs.get(fname) is None and \
+                    getattr(self, "sharded_fields", {}).get(fname) is None:
+                continue  # flat path is already exact
+            valid = seg.valid_mask()
+            alive = np.nonzero(valid)[0]
+            if alive.size == 0:
+                continue
+            rng = np.random.default_rng(0)
+            qi = rng.choice(alive, size=min(sample, alive.size),
+                            replace=False)
+            queries = np.ascontiguousarray(
+                seg.dense_host[fname][qi], dtype=np.float32)
+            metric = self.metric_map[fname]
+            kk = min(k, alive.size)
+            gt_cand, _ = self._flat_candidates(
+                fname, queries, valid, metric,
+                min(kk + RERANK_SLACK, alive.size), mask_cacheable=True)
+            gt_ids, _ = self._rerank_candidates(fname, queries, gt_cand,
+                                                metric, kk, queries.shape[0])
+            gt_sets = [set(row[row >= 0].tolist()) for row in gt_ids]
+            tried = []
+            chosen, chosen_recall = ladder[-1], 0.0
+            for ef in ladder:
+                ids, _ = self.batch_dense_search(fname, queries, valid,
+                                                 metric, kk,
+                                                 mask_cacheable=True, ef=ef)
+                hits = sum(len(set(row[row >= 0].tolist()) & g)
+                           for row, g in zip(ids, gt_sets))
+                total = sum(len(g) for g in gt_sets)
+                rec = hits / max(total, 1)
+                tried.append({"ef": ef, "recall": round(rec, 4)})
+                if rec >= target_recall:
+                    chosen, chosen_recall = ef, rec
+                    break
+                chosen, chosen_recall = ef, rec
+            self.search_ef_override[fname] = chosen
+            report[fname] = {"ef": chosen,
+                             "recall": round(chosen_recall, 4),
+                             "target": target_recall, "tried": tried}
+            logger.info(f"tune_search_ef {self.schema.name}.{fname}: "
+                        f"ef={chosen} recall@{kk}={chosen_recall:.4f}")
+        self._save_tuned_ef()
+        return report
+
     def batch_dense_search(self, field_name: str, queries: np.ndarray,
                            valid: np.ndarray, metric: MetricType, k: int,
                            mask_cacheable: bool = False,
-                           filter_ctx: Optional["_FilterCtx"] = None
+                           filter_ctx: Optional["_FilterCtx"] = None,
+                           ef: Optional[int] = None
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched dense search over [B, D] queries -> ([B, k] ids, dists).
 
@@ -390,12 +488,13 @@ class Table:
         """
         return self.collect_dense_search(self.dispatch_dense_search(
             field_name, queries, valid, metric, k,
-            mask_cacheable=mask_cacheable, filter_ctx=filter_ctx))
+            mask_cacheable=mask_cacheable, filter_ctx=filter_ctx, ef=ef))
 
     def dispatch_dense_search(self, field_name: str, queries: np.ndarray,
                               valid: np.ndarray, metric: MetricType,
                               k: int, mask_cacheable: bool = False,
-                              filter_ctx: Optional["_FilterCtx"] = None):
+                              filter_ctx: Optional["_FilterCtx"] = None,
+                              ef: Optional[int] = None):
         """Stage 1: pad the batch and launch the device kernel(s); device
         work proceeds asynchronously. Returns an opaque handle for
         collect_dense_search()."""
@@ -434,7 +533,7 @@ class Table:
             h["sf"] = sharded
             h["dev"], h["shard_ctx"] = self._sharded_launch(
                 sharded, field_name, queries, valid, metric, k_eff, n,
-                n_alive, mask_cacheable)
+                n_alive, mask_cacheable, ef=ef)
             return h
 
         use_graph = (graph is not None
@@ -454,7 +553,7 @@ class Table:
             qp = np.zeros((queries.shape[0], store.dim_padded),
                           dtype=np.float32)
             qp[:, : queries.shape[1]] = queries
-            bw = max(self.config.search_ef, k_out)
+            bw = max(self._field_ef(field_name, ef), k_out)
             adj = graph.adjacency_traversal(self.config.beam_traversal_degree)
             d_dev, ids_dev = beam_ops.beam_search_topk(
                 jnp.asarray(qp), graph.table, graph.norms, adj,
@@ -542,7 +641,7 @@ class Table:
     def _sharded_launch(self, sf, field_name: str, queries: np.ndarray,
                         valid: np.ndarray, metric: MetricType,
                         k_eff: int, n: int, n_alive: int,
-                        mask_cacheable: bool):
+                        mask_cacheable: bool, ef: Optional[int] = None):
         """Launch candidate generation on the sharded data plane: per-shard
         beam (+tail) or per-shard flat, all_gather-merged to GLOBAL ids.
         Returns (device handles, context for collect's top-up)."""
@@ -563,7 +662,7 @@ class Table:
             # query at this version (see _device_mask).
             ver = seg.mutation_version
             valid = seg.valid_mask()
-        beam = max(self.config.search_ef, k_eff + GRAPH_SLACK)
+        beam = max(self._field_ef(field_name, ef), k_eff + GRAPH_SLACK)
         term = max(self.config.beam_term_width, k_eff + GRAPH_SLACK)
         # BeamCompact is tuned against the single-chip traversal width
         # (expand * beam_traversal_degree); the sharded plane traverses its
