@@ -231,6 +231,7 @@ def make_shim(seg, graph):
             self.config = global_config
             self.metric_map = {"V": MetricType.EUCLIDEAN}
             self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
+            self.search_ef_override = {}
 
     return _Shim()
 

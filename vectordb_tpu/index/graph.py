@@ -511,11 +511,16 @@ class GraphIndex:
             fwd_parts.append(fwd_b)
         if profile and fwd_parts:
             jax.block_until_ready(fwd_parts)  # true pool+prune lap time
-        # Single device->host fetch of the pruned forward edges.
+        # Fetch the pruned forward edges part-by-part: the relay transport
+        # collapses on large single transfers (one [N, 32] fetch at 10M is
+        # 1.28 GB ~ 20 min at the measured 1.1 MB/s big-transfer rate;
+        # the same bytes in the parts' natural 4 MB slices sustain
+        # 12-43 MB/s — see utils.fetch_to_host).
         _lap("fetch")
-        fwd = np.ascontiguousarray(
-            np.asarray(jnp.concatenate(fwd_parts, axis=0))[:n],
-            dtype=np.int32)
+        from ..utils import fetch_to_host
+        fwd = np.concatenate(
+            [fetch_to_host(p) for p in fwd_parts], axis=0)[:n]
+        fwd = np.ascontiguousarray(fwd, dtype=np.int32)
         _lap("edges")
 
         # 4+5. Reverse edges + connectivity repair (shared with the

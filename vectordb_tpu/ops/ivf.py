@@ -204,7 +204,8 @@ def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
 
     # 2. Assignment of ALL rows (top-1; tiles absorb skew exactly).
     a1, _ = _assign_all(table, centroids, n, blk)
-    a1 = np.asarray(a1)[:n]
+    from ..utils import fetch_to_host
+    a1 = fetch_to_host(a1)[:n]  # [N_pad] int32 is 40 MB at 10M — chunk d2h
     t_km = _time.perf_counter()
 
     # 3. Tiled membership: every cluster is split into ceil(size/T) tiles
@@ -252,9 +253,10 @@ def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
     group = min(64, n_tiles)
 
     def _drain(handle):
+        from ..utils import fetch_to_host
         t0_, ti0, ii, dd = handle
-        ii_h = np.asarray(ii)
-        dd_h = np.asarray(dd) if dd is not None else None
+        ii_h = fetch_to_host(ii)
+        dd_h = fetch_to_host(dd) if dd is not None else None
         for gi in range(t0_ - ti0, group):
             mrows = members[ti0 + gi]
             okm = mrows >= 0

@@ -85,6 +85,37 @@ def _knn_block(q_base, table, t_norms, n_valid,
     return -neg_top, jnp.take_along_axis(all_i, sel, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("n_valid", "metric", "k",
+                                             "block", "group"))
+def _fused_knn_group(start0, table, norms, n_valid: int, metric: int, k: int,
+                     block: int, group: int):
+    """`group` consecutive query blocks through the fused Pallas
+    partial-min scan + top-k in ONE dispatch (lax.scan over blocks).
+
+    Per-dispatch overhead (relay enqueue + device launch gaps) dominates a
+    ~500-launch KNN loop in tunneled deployments — measured 46 s for the
+    500k KNN stage of which <5 s is device compute. Grouping cuts launches
+    group-fold, the same fix that took the build pool stage 434 s -> 148 s.
+    The per-block top-k runs inside the scan so only [group, block, k]
+    survivors accumulate.
+    """
+    from . import pallas_topk
+
+    def step(_, gi):
+        q_base = start0 + gi * block
+        d, ids = pallas_topk.fused_topk(
+            jax.lax.dynamic_slice(
+                table, (q_base, 0), (block, table.shape[1])),
+            jax.lax.dynamic_slice(norms, (q_base,), (block,)),
+            q_base, table, norms, metric, k,
+            n_valid=n_valid, exclude_self=True)
+        return None, (d, ids)
+
+    _, (d, ids) = jax.lax.scan(step, None,
+                               jnp.arange(group, dtype=jnp.int32))
+    return (d.reshape(group * block, -1), ids.reshape(group * block, -1))
+
+
 def exact_knn(table: jnp.ndarray, norms: jnp.ndarray, n: int, k: int,
               metric: MetricType, query_block: int = DEFAULT_QUERY_BLOCK,
               chunk: int = DEFAULT_CHUNK) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -96,7 +127,8 @@ def exact_knn(table: jnp.ndarray, norms: jnp.ndarray, n: int, k: int,
     dominant cost in this deployment, so callers fetch once at the end.
 
     All query blocks have identical shape (the table is padded), so the
-    kernel compiles exactly once per table size.
+    kernel compiles exactly once per table size (plus one grouped-scan
+    executable when n spans >= KNN_GROUP blocks).
     """
     n_pad = table.shape[0]
     chunk = min(chunk, n_pad)
@@ -112,8 +144,17 @@ def exact_knn(table: jnp.ndarray, norms: jnp.ndarray, n: int, k: int,
             and pallas_topk.supports(n_pad, table.shape[1],
                                      pallas_topk.TILE_Q)
             and query_block % pallas_topk.TILE_Q == 0):
+        group = 16
         parts_d, parts_i = [], []
-        for start in range(0, n_pad, query_block):
+        start = 0
+        # Grouped region: `group` query blocks per dispatch.
+        while (start + group * query_block <= n_pad and start < n):
+            d, ids = _fused_knn_group(jnp.int32(start), table, norms, n,
+                                      int(metric), k, query_block, group)
+            parts_d.append(d)
+            parts_i.append(ids)
+            start += group * query_block
+        for start in range(start, n_pad, query_block):
             if start >= n:
                 break
             real_start = start

@@ -1,7 +1,7 @@
 from .common import (atomic_write_bytes, atomic_write_text, is_valid_name,
-                     ensure_dir, AtomicCounter, BuildPauseGate,
-                     build_pause_gate)
+                     ensure_dir, fetch_to_host, AtomicCounter,
+                     BuildPauseGate, build_pause_gate)
 
 __all__ = ["atomic_write_bytes", "atomic_write_text", "is_valid_name",
-           "ensure_dir", "AtomicCounter", "BuildPauseGate",
+           "ensure_dir", "fetch_to_host", "AtomicCounter", "BuildPauseGate",
            "build_pause_gate"]

@@ -37,6 +37,31 @@ def atomic_write_text(path: str, text: str) -> None:
     atomic_write_bytes(path, text.encode("utf-8"))
 
 
+def fetch_to_host(arr, chunk_bytes: int = 16 << 20):
+    """Device->host fetch chunked along axis 0.
+
+    The tunneled-relay transport collapses on large single transfers
+    (measured: one 64 MB d2h moves at ~1.1 MB/s while the same data in
+    4-17 MB row-slices sustains 12-43 MB/s — a 10-40x difference), so any
+    fetch that can exceed ~32 MB must be sliced. No-op passthrough for
+    numpy inputs and small arrays.
+    """
+    import numpy as np
+
+    if isinstance(arr, np.ndarray):
+        return arr
+    nbytes = int(np.prod(arr.shape)) * arr.dtype.itemsize
+    if nbytes <= 2 * chunk_bytes or arr.ndim == 0 or arr.shape[0] <= 1:
+        return np.asarray(arr)
+    row_bytes = max(1, nbytes // arr.shape[0])
+    rows = max(1, chunk_bytes // row_bytes)
+    n = arr.shape[0]
+    out = np.empty(arr.shape, dtype=arr.dtype)
+    for s in range(0, n, rows):
+        out[s:s + rows] = np.asarray(arr[s:s + rows])
+    return out
+
+
 class AtomicCounter:
     """Monotonic counter with a lock (reference utils/atomic_counter.hpp)."""
 
