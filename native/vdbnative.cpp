@@ -195,4 +195,39 @@ void vdb_reverse_edges(const int32_t* fwd, int64_t n, int degree,
   }
 }
 
+// Incremental BFS reachability over a padded adjacency matrix (the role
+// of the reference NSG connectivity check, nsg.cpp:687-775). Marks every
+// row reachable from `seeds` in `reached` ([n] u8, 1 = reached; rows
+// already 1 are not re-expanded, so repeated calls absorb new components
+// incrementally). Returns the number of NEWLY reached rows. queue is a
+// caller-provided [n] int32 scratch buffer. The numpy equivalent
+// materializes an [frontier, r_total] gather + sort per level — ~GBs of
+// temporaries at 10M rows; this is one linear pass over the edges.
+int64_t vdb_bfs_reach(const int32_t* adjacency, int64_t n, int r_total,
+                      const int32_t* seeds, int64_t n_seeds,
+                      uint8_t* reached, int32_t* queue) {
+  int64_t head = 0, tail = 0, newly = 0;
+  for (int64_t i = 0; i < n_seeds; i++) {
+    int32_t s = seeds[i];
+    if (s < 0 || s >= n || reached[s]) continue;
+    reached[s] = 1;
+    queue[tail++] = s;
+    newly++;
+  }
+  while (head < tail) {
+    int64_t u = queue[head++];
+    const int32_t* row = adjacency + u * r_total;
+    for (int e = 0; e < r_total; e++) {
+      int32_t v = row[e];
+      if (v < 0 || v >= n) continue;
+      if (!reached[v]) {
+        reached[v] = 1;
+        queue[tail++] = v;
+        newly++;
+      }
+    }
+  }
+  return newly;
+}
+
 }  // extern "C"

@@ -273,3 +273,47 @@ def test_grouped_build_dispatch_matches_oracle(monkeypatch):
     hits = sum(len(set(ids[i, :k].tolist()) & set(gt[i].tolist()))
                for i in range(64))
     assert hits / (64 * k) >= 0.97
+
+
+def test_native_bfs_matches_numpy_absorb():
+    """The native BFS used by finalize_adjacency must agree with the
+    numpy fallback on reachability (including incremental re-absorbs)."""
+    import numpy as np
+
+    from vectordb_tpu.native import get_native
+
+    nat = get_native()
+    if nat is None or not getattr(nat, "has_bfs", False):
+        import pytest
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(11)
+    n, r = 500, 6
+    adj = rng.integers(-1, n, size=(n, r)).astype(np.int32)
+
+    def numpy_reach(seeds):
+        reached = np.zeros(n, dtype=bool)
+        frontier = np.asarray(seeds, dtype=np.int64)
+        reached[frontier] = True
+        while len(frontier):
+            nxt = adj[frontier].reshape(-1)
+            nxt = nxt[nxt >= 0]
+            nxt = np.unique(nxt)
+            nxt = nxt[~reached[nxt]]
+            reached[nxt] = True
+            frontier = nxt
+        return reached
+
+    seeds = np.asarray([0, 17, 123], np.int32)
+    want = numpy_reach(seeds)
+    got = np.zeros(n, dtype=bool)
+    scratch = np.empty(n, np.int32)
+    newly = nat.bfs_reach(adj, seeds, got.view(np.uint8), scratch)
+    assert newly == int(want.sum())
+    assert np.array_equal(got, want)
+    # incremental absorb from an unreached node
+    unreached = np.flatnonzero(~want)
+    if len(unreached):
+        s2 = np.asarray([unreached[0]], np.int32)
+        n2 = nat.bfs_reach(adj, s2, got.view(np.uint8), scratch)
+        assert n2 >= 1
+        assert got[unreached[0]]

@@ -294,7 +294,19 @@ def finalize_adjacency(fwd: np.ndarray, host: np.ndarray,
         adjacency[dsts[in_range], slots[in_range]] = srcs[in_range]
         fill = (adjacency >= 0).sum(axis=1).astype(np.int64)
 
+    bfs_scratch = (np.empty(n, dtype=np.int32)
+                   if native is not None and getattr(native, "has_bfs",
+                                                     False) else None)
+
     def absorb(start_ids, reached):
+        if bfs_scratch is not None:
+            # Native queue BFS: one linear pass over the edges. The numpy
+            # fallback materializes an [frontier, r_total] gather + unique
+            # sort per level — GBs of transients at 10M rows.
+            native.bfs_reach(
+                adjacency, np.ascontiguousarray(start_ids, dtype=np.int32),
+                reached.view(np.uint8), bfs_scratch)
+            return
         frontier = np.asarray(start_ids, dtype=np.int64)
         reached[frontier] = True
         while len(frontier):

@@ -42,6 +42,15 @@ class Native:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p]
         lib.vdb_reverse_edges.restype = None
+        try:  # symbol may be absent in a stale pre-built library
+            lib.vdb_bfs_reach.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p]
+            lib.vdb_bfs_reach.restype = ctypes.c_int64
+            self.has_bfs = True
+        except AttributeError:
+            self.has_bfs = False
 
     def wal_append(self, fd: int, entry_id: int, entry_type: int,
                    payload: bytes, do_fsync: bool = False) -> None:
@@ -81,6 +90,17 @@ class Native:
             adjacency.ctypes.data_as(ctypes.c_void_p),
             fill.ctypes.data_as(ctypes.c_void_p))
         return fill.astype(np.int64)
+
+    def bfs_reach(self, adjacency, seeds, reached, queue) -> int:
+        """Incremental BFS over contiguous int32 [n, r_total] adjacency:
+        marks rows reachable from `seeds` (int32 [m]) in `reached`
+        (uint8 [n], already-1 rows are not re-expanded); `queue` is int32
+        [n] scratch. Returns the count of newly reached rows."""
+        return int(self.lib.vdb_bfs_reach(
+            adjacency.ctypes.data_as(ctypes.c_void_p), adjacency.shape[0],
+            adjacency.shape[1], seeds.ctypes.data_as(ctypes.c_void_p),
+            seeds.shape[0], reached.ctypes.data_as(ctypes.c_void_p),
+            queue.ctypes.data_as(ctypes.c_void_p)))
 
 
 def _build() -> bool:
