@@ -317,3 +317,46 @@ def test_native_bfs_matches_numpy_absorb():
         n2 = nat.bfs_reach(adj, s2, got.view(np.uint8), scratch)
         assert n2 >= 1
         assert got[unreached[0]]
+
+
+def test_build_search_pools_config_paths():
+    """Both build variants (KNN-only prune default, pool-search via
+    BuildSearchPools=on) must produce searchable graphs with recall
+    against the exact oracle."""
+    import numpy as np
+
+    from vectordb_tpu.config import global_config
+    from vectordb_tpu.index.graph import GraphIndex
+    from vectordb_tpu.ops.beam import beam_search
+    from vectordb_tpu.schema import (FieldSchema, FieldType, MetricType,
+                                     TableSchema)
+    from vectordb_tpu.segment import TableSegment
+
+    rng = np.random.default_rng(5)
+    n, dim = 1500, 24
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    schema = TableSchema(id=0, name="t", fields=[
+        FieldSchema(id=0, name="ID", is_primary_key=True,
+                    field_type=FieldType.INT4),
+        FieldSchema(id=1, name="V", field_type=FieldType.VECTOR_FLOAT,
+                    vector_dimension=dim,
+                    metric_type=MetricType.EUCLIDEAN)])
+    seg = TableSegment(schema, n)
+    seg.record_number = n
+    seg.dense_host["V"][:n] = x
+    seg.dense_norms["V"][:n] = (x ** 2).sum(1)
+
+    q = x[:64] + 0.01 * rng.normal(size=(64, dim)).astype(np.float32)
+    d = ((q ** 2).sum(1)[:, None] - 2.0 * (q @ x.T)
+         + (x ** 2).sum(1)[None, :])
+    gt = np.argsort(d, axis=1)[:, :5]
+
+    assert global_config.build_search_pools == "auto"
+    for mode, pools in (("auto-default", None), ("explicit-on", True)):
+        g = GraphIndex.build(seg, "V", MetricType.EUCLIDEAN,
+                             search_pools=pools)
+        ids = beam_search(g, q, seg.valid_mask(), MetricType.EUCLIDEAN,
+                          beam_width=64)
+        hits = sum(len(set(ids[i, :5].tolist()) & set(gt[i].tolist()))
+                   for i in range(64))
+        assert hits / (64 * 5) >= 0.97, (mode, hits / 320)

@@ -76,6 +76,14 @@ class Config:
         # explicit values pin both stages.
         self.build_search_l = 0
         self.build_search_iters = 0
+        # Pool-SEARCH stage on/off: "auto" | "on" | "off". Measured
+        # (500k x 128 and 500k x 960, 4096 queries vs exact oracle): with
+        # query-time representative-cover seeding the KNN-only prune graph
+        # matches the pool-search graph's recall and QPS exactly, at ~10x
+        # less build time — the NSG navigation-path edges earn nothing
+        # when every query seeds from its own top-of-cover entry points.
+        # auto = off; "on" restores the pool-search stage for A/B.
+        self.build_search_pools = "auto"
 
     # key -> (attribute, converter, validator-or-None, requires_swap).
     # Declarative so update() can validate EVERY key before applying any:
@@ -124,6 +132,8 @@ class Config:
                          lambda v: v == 0 or 8 <= v <= 1024, False),
         "BuildSearchIters": ("build_search_iters", int,
                              lambda v: v == 0 or 1 <= v <= 256, False),
+        "BuildSearchPools": ("build_search_pools", str,
+                             lambda v: v in ("auto", "on", "off"), False),
     }
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
@@ -180,6 +190,7 @@ class Config:
             "QueryBatchWindowMs": self.query_batch_window_ms,
             "BuildSearchL": self.build_search_l,
             "BuildSearchIters": self.build_search_iters,
+            "BuildSearchPools": self.build_search_pools,
         }
 
 

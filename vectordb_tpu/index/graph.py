@@ -202,22 +202,47 @@ def _extract_fwd(pool_ids, kept, degree: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "degree", "batch"))
-def _knn_prune_batch_kernel(start, table, norms, knn_ids, knn_d, alpha,
-                            metric: int, degree: int, batch: int):
+    jax.jit, static_argnames=("metric", "degree", "batch", "group"))
+def _knn_prune_batch_kernel(start0, table, norms, knn_ids, alpha,
+                            metric: int, degree: int, batch: int,
+                            group: int = 1):
     """Build-batch kernel for KNN-only pools (no search stage): prune each
-    node's exact-KNN list directly. Used when query-time rep seeding makes
-    long-range navigation edges unnecessary."""
-    ids_b = jax.lax.dynamic_slice(
-        knn_ids, (start, 0), (batch, knn_ids.shape[1]))
-    d_b = jax.lax.dynamic_slice(
-        knn_d, (start, 0), (batch, knn_d.shape[1]))
-    safe = jnp.clip(ids_b, 0, table.shape[0] - 1)
-    pool_vecs = jnp.take(table, safe.reshape(-1),
-                         axis=0).reshape(batch, ids_b.shape[1], -1)
-    kept = _prune_batch_kernel(pool_vecs, d_b, ids_b >= 0,
-                               metric, degree, alpha)
-    return _extract_fwd(ids_b, kept, degree)
+    node's exact-KNN list directly, `group` node batches per dispatch
+    (lax.scan — launch count is the real cost through the relay). Used
+    when query-time rep seeding makes long-range navigation edges
+    unnecessary (measured at 500k x 128: recall and QPS identical to the
+    pool-search build, 10x less build time). Node->candidate distances
+    are recomputed in-kernel from the gathered rows — cheaper than
+    round-tripping an [N, K] f32 distance matrix through the relay for
+    the IVF path (2.5 GB each way at 10M)."""
+
+    def step(_, gi):
+        start = start0 + gi * batch
+        ids_b = jax.lax.dynamic_slice(
+            knn_ids, (start, 0), (batch, knn_ids.shape[1]))
+        node_vecs = jax.lax.dynamic_slice(
+            table, (start, 0), (batch, table.shape[1])).astype(jnp.float32)
+        safe = jnp.clip(ids_b, 0, table.shape[0] - 1)
+        pool_vecs = jnp.take(table, safe.reshape(-1),
+                             axis=0).reshape(batch, ids_b.shape[1], -1)
+        ip = jnp.einsum("bpd,bd->bp", pool_vecs,
+                        node_vecs.astype(pool_vecs.dtype),
+                        preferred_element_type=jnp.float32)
+        if metric == int(MetricType.EUCLIDEAN):
+            q_norms = jnp.sum(node_vecs ** 2, axis=1)
+            v_norms = jnp.einsum("bpd,bpd->bp", pool_vecs, pool_vecs,
+                                 preferred_element_type=jnp.float32)
+            d_b = q_norms[:, None] - 2.0 * ip + v_norms
+        elif metric == int(MetricType.COSINE):
+            d_b = 1.0 - ip
+        else:
+            d_b = -ip
+        kept = _prune_batch_kernel(pool_vecs, d_b, ids_b >= 0,
+                                   metric, degree, alpha)
+        return None, _extract_fwd(ids_b, kept, degree)
+
+    _, fwd = jax.lax.scan(step, None, jnp.arange(group, dtype=jnp.int32))
+    return fwd.reshape(group * batch, fwd.shape[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "degree"))
@@ -400,8 +425,16 @@ class GraphIndex:
     def build(cls, segment, field_name: str, metric: MetricType,
               knn_k: int = DEFAULT_KNN_K, degree: int = DEFAULT_DEGREE,
               alpha: float = DEFAULT_ALPHA,
-              search_pools: bool = True) -> "GraphIndex":
+              search_pools: Optional[bool] = None) -> "GraphIndex":
         import time as _time
+
+        if search_pools is None:
+            # Config policy: auto = KNN-only prune (measured identical
+            # recall/QPS to the pool-search graph at ~10x less build time
+            # — see config.build_search_pools); "on" restores pool search.
+            from ..config import global_config as _gc
+            search_pools = (getattr(_gc, "build_search_pools", "auto")
+                            == "on")
 
         t_start = _time.perf_counter()
         # Device phases dispatch asynchronously, so by default the laps
@@ -432,24 +465,19 @@ class GraphIndex:
         from ..config import global_config as _cfg
         if n >= getattr(_cfg, "ivf_knn_threshold", 3_000_000):
             from ..ops.ivf import ivf_knn
-            # knn_d is only read by the KNN-only prune path; skip both the
-            # d2h fetch (ivf_knn need_dists) and the re-upload (an [N, K]
-            # f32 is 2.5 GB at 10M) when the search-pools path won't
-            # touch it.
-            ids_h, d_h = ivf_knn(store.buf, store.norms, n, knn_k, metric,
-                                 need_dists=not search_pools)
+            # Distances are recomputed in-kernel by the prune stage, so
+            # the [N, K] f32 matrix (2.5 GB at 10M) never crosses the
+            # relay in either direction.
+            ids_h, _ = ivf_knn(store.buf, store.norms, n, knn_k, metric,
+                               need_dists=False)
             pad_n = -(-n // PRUNE_BATCH) * PRUNE_BATCH
             if pad_n > n:
                 ids_h = np.pad(ids_h, ((0, pad_n - n), (0, 0)),
                                constant_values=-1)
-                if d_h is not None:
-                    d_h = np.pad(d_h, ((0, pad_n - n), (0, 0)),
-                                 constant_values=np.inf)
             knn_ids = jnp.asarray(ids_h)
-            knn_d = None if search_pools else jnp.asarray(d_h)
         else:
-            knn_ids, knn_d = exact_knn(store.buf, store.norms, n, knn_k,
-                                       metric)
+            knn_ids, _ = exact_knn(store.buf, store.norms, n, knn_k,
+                                   metric)
         if profile:
             jax.block_until_ready(knn_ids)
 
@@ -468,18 +496,21 @@ class GraphIndex:
         #    nsg.cpp:158-486), then occlusion pruning — all in node batches
         #    on device.
         r_total = degree * 2
-        # Bootstrap graph for pool searches: half degree halves the gather
-        # volume of the (gather-bound) pool stage with negligible pool
-        # quality impact.
-        boot_deg = max(degree // 2, 16)
-        knn_r = knn_ids[:, :boot_deg]
-        if knn_r.shape[1] < boot_deg:
-            knn_r = jnp.pad(knn_r, ((0, 0), (0, boot_deg - knn_r.shape[1])),
-                            constant_values=-1)
-        boot_adj = jnp.where(knn_r >= 0, knn_r, -1).astype(jnp.int32)
-        boot_reps = jnp.asarray(_make_rep_ids(n, nav))
+        boot_adj = boot_reps = None
         pool_size = min(128, max(degree * 2, 64))
         search_l, search_iters = resolve_build_search_params()
+        if search_pools:
+            # Bootstrap graph for pool searches: half degree halves the
+            # gather volume of the (gather-bound) pool stage with
+            # negligible pool quality impact.
+            boot_deg = max(degree // 2, 16)
+            knn_r = knn_ids[:, :boot_deg]
+            if knn_r.shape[1] < boot_deg:
+                knn_r = jnp.pad(knn_r,
+                                ((0, 0), (0, boot_deg - knn_r.shape[1])),
+                                constant_values=-1)
+            boot_adj = jnp.where(knn_r >= 0, knn_r, -1).astype(jnp.int32)
+            boot_reps = jnp.asarray(_make_rep_ids(n, nav))
 
         # Fixed-size node batches at dynamic offsets -> exactly one compiled
         # executable for the whole loop; results accumulate on device and
@@ -494,13 +525,17 @@ class GraphIndex:
         group = 16
         # Grouped region: `group` batches per dispatch (launch count is a
         # real cost through the relay — see _build_batch_group).
-        while (search_pools and start + group * batch <= n_rows_knn
-               and start < n):
+        while start + group * batch <= n_rows_knn and start < n:
             build_pause_gate.check_wait()  # BuilderSuspend equivalent
-            fwd_parts.append(_build_batch_group(
-                jnp.int32(start), store.buf, store.norms, boot_adj,
-                boot_reps, knn_ids, float(alpha), int(metric), degree,
-                pool_size, search_l, search_iters, batch, group))
+            if search_pools:
+                fwd_parts.append(_build_batch_group(
+                    jnp.int32(start), store.buf, store.norms, boot_adj,
+                    boot_reps, knn_ids, float(alpha), int(metric), degree,
+                    pool_size, search_l, search_iters, batch, group))
+            else:
+                fwd_parts.append(_knn_prune_batch_kernel(
+                    jnp.int32(start), store.buf, store.norms, knn_ids,
+                    float(alpha), int(metric), degree, batch, group))
             start += group * batch
         for start in range(start, n_rows_knn, batch):
             build_pause_gate.check_wait()
@@ -517,7 +552,7 @@ class GraphIndex:
             else:
                 fwd_b = _knn_prune_batch_kernel(
                     jnp.int32(real_start), store.buf, store.norms, knn_ids,
-                    knn_d, float(alpha), int(metric), degree, batch)
+                    float(alpha), int(metric), degree, batch, 1)
             if real_start != start:
                 fwd_b = fwd_b[start - real_start:]
             fwd_parts.append(fwd_b)
