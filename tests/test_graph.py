@@ -260,7 +260,11 @@ def test_grouped_build_dispatch_matches_oracle(monkeypatch):
     seg.record_number = n
     seg.dense_host["V"][:n] = x
     seg.dense_norms["V"][:n] = (x ** 2).sum(1)
-    g = graph_mod.GraphIndex.build(seg, "V", MetricType.EUCLIDEAN)
+    # search_pools=True: this test exists to exercise the grouped
+    # pool-search dispatch (_build_batch_group), which the auto policy
+    # (KNN-only prune) no longer reaches by default.
+    g = graph_mod.GraphIndex.build(seg, "V", MetricType.EUCLIDEAN,
+                                   search_pools=True)
 
     from vectordb_tpu.ops.beam import beam_search
     q = x[rng.integers(0, n, 64)] + 0.01 * rng.normal(
@@ -273,6 +277,16 @@ def test_grouped_build_dispatch_matches_oracle(monkeypatch):
     hits = sum(len(set(ids[i, :k].tolist()) & set(gt[i].tolist()))
                for i in range(64))
     assert hits / (64 * k) >= 0.97
+
+    # Same crossing of the grouped region for the KNN-only prune path
+    # (the default build): 4096 rows > 16 * batch(128).
+    g2 = graph_mod.GraphIndex.build(seg, "V", MetricType.EUCLIDEAN,
+                                    search_pools=False)
+    ids2 = beam_search(g2, q, seg.valid_mask(), MetricType.EUCLIDEAN,
+                       beam_width=64, term_width=16)
+    hits2 = sum(len(set(ids2[i, :k].tolist()) & set(gt[i].tolist()))
+                for i in range(64))
+    assert hits2 / (64 * k) >= 0.97
 
 
 def test_native_bfs_matches_numpy_absorb():

@@ -212,9 +212,9 @@ def _knn_prune_batch_kernel(start0, table, norms, knn_ids, alpha,
     when query-time rep seeding makes long-range navigation edges
     unnecessary (measured at 500k x 128: recall and QPS identical to the
     pool-search build, 10x less build time). Node->candidate distances
-    are recomputed in-kernel from the gathered rows — cheaper than
-    round-tripping an [N, K] f32 distance matrix through the relay for
-    the IVF path (2.5 GB each way at 10M)."""
+    are recomputed in-kernel (ip from gathered rows + the precomputed f32
+    norms table) — cheaper than round-tripping an [N, K] f32 distance
+    matrix through the relay for the IVF path (2.5 GB each way at 10M)."""
 
     def step(_, gi):
         start = start0 + gi * batch
@@ -229,7 +229,13 @@ def _knn_prune_batch_kernel(start0, table, norms, knn_ids, alpha,
                         node_vecs.astype(pool_vecs.dtype),
                         preferred_element_type=jnp.float32)
         if metric == int(MetricType.EUCLIDEAN):
-            q_norms = jnp.sum(node_vecs ** 2, axis=1)
+            # q_norms: contiguous f32 slice (cheap, exact). v_norms:
+            # computed from the gathered rows — a second [B, P] norms
+            # GATHER would cost as much as the vector gather itself
+            # (row gathers are row-count-bound on this hardware; see
+            # ops/beam._cand_scores), and occlusion pruning is
+            # insensitive to the bf16 rounding.
+            q_norms = jax.lax.dynamic_slice(norms, (start,), (batch,))
             v_norms = jnp.einsum("bpd,bpd->bp", pool_vecs, pool_vecs,
                                  preferred_element_type=jnp.float32)
             d_b = q_norms[:, None] - 2.0 * ip + v_norms
@@ -524,8 +530,11 @@ class GraphIndex:
         start = 0
         group = 16
         # Grouped region: `group` batches per dispatch (launch count is a
-        # real cost through the relay — see _build_batch_group).
-        while start + group * batch <= n_rows_knn and start < n:
+        # real cost through the relay — see _build_batch_group), bounded
+        # by the batches containing real rows so a group never prunes
+        # mostly padding; the per-batch tail covers [start, n).
+        n_batches_real = -(-n // batch) * batch
+        while start + group * batch <= min(n_rows_knn, n_batches_real):
             build_pause_gate.check_wait()  # BuilderSuspend equivalent
             if search_pools:
                 fwd_parts.append(_build_batch_group(
@@ -586,9 +595,12 @@ class GraphIndex:
         build_s = _time.perf_counter() - t_start
         metrics.inc("graph_builds_total")
         metrics.observe("graph_build", build_s)
-        # Distance computations: n x n KNN block scan + pool/prune stages.
+        # Distance computations: n x n KNN block scan + the per-node
+        # pool/prune term of whichever build path ran.
+        per_node = (search_l * 4 + pool_size ** 2 if search_pools
+                    else knn_k ** 2)
         metrics.inc("build_distance_computations",
-                    float(n) * n + float(n) * (search_l * 4 + pool_size ** 2))
+                    float(n) * n + float(n) * per_node)
         logger.info(f"Graph build: {n} rows, degree {degree}x2, "
                     f"{build_s:.1f}s")
         return cls(segment, field_name, metric, adjacency, nav, n)

@@ -147,8 +147,13 @@ def exact_knn(table: jnp.ndarray, norms: jnp.ndarray, n: int, k: int,
         group = 16
         parts_d, parts_i = [], []
         start = 0
-        # Grouped region: `group` query blocks per dispatch.
-        while (start + group * query_block <= n_pad and start < n):
+        # Grouped region: `group` query blocks per dispatch, bounded by
+        # the blocks that contain real rows (n rounded up to a block) —
+        # the device pad (next pow2 capacity) can exceed n by far more
+        # than a block, and a full-table KNN scan per padding block is
+        # pure waste. The per-block tail below covers [start, n).
+        n_blocks_real = -(-n // query_block) * query_block
+        while start + group * query_block <= min(n_pad, n_blocks_real):
             d, ids = _fused_knn_group(jnp.int32(start), table, norms, n,
                                       int(metric), k, query_block, group)
             parts_d.append(d)
