@@ -250,13 +250,17 @@ def _local_knn(tab, nrm, local_n, k: int, metric: int, qb: int, chunk: int):
 def _shard_build_fwd(tab, nrm, local_n, metric: int, knn_k: int,
                      degree: int, alpha: float, pool_size: int,
                      search_l: int, search_iters: int, batch: int,
-                     reps, qb: int, chunk: int, knn_ids=None):
+                     reps, qb: int, chunk: int, knn_ids=None,
+                     search_pools: bool = False):
     """Full device build for one shard: local KNN (exact in-kernel, or
-    precomputed per-shard IVF ids passed in), then pool-search +
-    occlusion-prune per node batch. Returns forward edges [C, degree]
-    (local slot ids, -1 padded)."""
+    precomputed per-shard IVF ids passed in), then occlusion-prune per
+    node batch — KNN-only by default (same measured policy as the
+    single-chip build: with query-time rep seeding the pool-search stage
+    earns nothing), pool-search + prune when search_pools. Returns
+    forward edges [C, degree] (local slot ids, -1 padded)."""
     from ..index.graph import _pool_kernel, _prune_batch_kernel, _extract_fwd
     from ..ops.beam import beam_search_kernel
+    from ..schema import MetricType as _MT
 
     c_rows, d = tab.shape
     if knn_ids is None:
@@ -271,17 +275,40 @@ def _shard_build_fwd(tab, nrm, local_n, metric: int, knn_k: int,
         node_vecs = jax.lax.dynamic_slice(
             tab, (start, 0), (batch, d)).astype(jnp.float32)
         node_ids = start + jnp.arange(batch, dtype=jnp.int32)
-        _, s_ids, s_vis = beam_search_kernel(
-            node_vecs, tab, nrm, boot_adj, reps, metric, search_l, 4,
-            search_iters, term_width=16, compact=3 * boot_adj.shape[1])
         knn_b = jax.lax.dynamic_slice(
             knn_ids, (start, 0), (batch, knn_ids.shape[1]))
-        pool_ids, pool_d = _pool_kernel(node_ids, node_vecs, s_ids, s_vis,
-                                        knn_b, tab, nrm, metric, pool_size)
-        safe = jnp.clip(pool_ids, 0, c_rows - 1)
-        pool_vecs = jnp.take(tab, safe.reshape(-1),
-                             axis=0).reshape(batch, pool_size, -1)
-        kept = _prune_batch_kernel(pool_vecs, pool_d, jnp.isfinite(pool_d),
+        if search_pools:
+            _, s_ids, s_vis = beam_search_kernel(
+                node_vecs, tab, nrm, boot_adj, reps, metric, search_l, 4,
+                search_iters, term_width=16, compact=3 * boot_adj.shape[1])
+            pool_ids, pool_d = _pool_kernel(node_ids, node_vecs, s_ids,
+                                            s_vis, knn_b, tab, nrm, metric,
+                                            pool_size)
+            pool_valid = jnp.isfinite(pool_d)
+            safe = jnp.clip(pool_ids, 0, c_rows - 1)
+            pool_vecs = jnp.take(tab, safe.reshape(-1),
+                                 axis=0).reshape(batch, pool_ids.shape[1],
+                                                 -1)
+        else:
+            pool_ids = knn_b
+            pool_valid = (knn_b >= 0) & (knn_b != node_ids[:, None])
+            safe = jnp.clip(pool_ids, 0, c_rows - 1)
+            pool_vecs = jnp.take(tab, safe.reshape(-1),
+                                 axis=0).reshape(batch, pool_ids.shape[1],
+                                                 -1)
+            ip = jnp.einsum("bpd,bd->bp", pool_vecs,
+                            node_vecs.astype(pool_vecs.dtype),
+                            preferred_element_type=jnp.float32)
+            if metric == int(_MT.EUCLIDEAN):
+                q_norms = jax.lax.dynamic_slice(nrm, (start,), (batch,))
+                v_norms = jnp.einsum("bpd,bpd->bp", pool_vecs, pool_vecs,
+                                     preferred_element_type=jnp.float32)
+                pool_d = q_norms[:, None] - 2.0 * ip + v_norms
+            elif metric == int(_MT.COSINE):
+                pool_d = 1.0 - ip
+            else:
+                pool_d = -ip
+        kept = _prune_batch_kernel(pool_vecs, pool_d, pool_valid,
                                    metric, degree, alpha)
         fwd = jnp.where(node_ids[:, None] < local_n,
                         _extract_fwd(pool_ids, kept, degree), -1)
@@ -295,11 +322,11 @@ def _shard_build_fwd(tab, nrm, local_n, metric: int, knn_k: int,
     jax.jit,
     static_argnames=("mesh", "metric", "knn_k", "degree", "pool_size",
                      "search_l", "search_iters", "batch", "qb", "chunk",
-                     "alpha"))
+                     "alpha", "search_pools"))
 def _sharded_build(buf, norms, local_ns, reps, *, alpha: float, mesh,
                    metric: int, knn_k: int, degree: int, pool_size: int,
                    search_l: int, search_iters: int, batch: int, qb: int,
-                   chunk: int):
+                   chunk: int, search_pools: bool = False):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
@@ -308,7 +335,8 @@ def _sharded_build(buf, norms, local_ns, reps, *, alpha: float, mesh,
     def run(tab, nrm, local_n, rp):
         fwd = _shard_build_fwd(tab[0], nrm[0], local_n[0], metric, knn_k,
                                degree, alpha, pool_size, search_l,
-                               search_iters, batch, rp[0], qb, chunk)
+                               search_iters, batch, rp[0], qb, chunk,
+                               search_pools=search_pools)
         return fwd[None]
 
     return run(buf, norms, local_ns, reps)
@@ -318,12 +346,12 @@ def _sharded_build(buf, norms, local_ns, reps, *, alpha: float, mesh,
     jax.jit,
     static_argnames=("mesh", "metric", "knn_k", "degree", "pool_size",
                      "search_l", "search_iters", "batch", "qb", "chunk",
-                     "alpha"))
+                     "alpha", "search_pools"))
 def _sharded_build_preknn(buf, norms, local_ns, reps, knn_ids, *,
                           alpha: float, mesh, metric: int, knn_k: int,
                           degree: int, pool_size: int, search_l: int,
                           search_iters: int, batch: int, qb: int,
-                          chunk: int):
+                          chunk: int, search_pools: bool = False):
     """Pool-search + prune per shard with PRECOMPUTED per-shard KNN ids
     (local slots, [S, cap_s, K]) — the sub-quadratic build path: KNN comes
     from per-shard IVF partitioning instead of the exact in-kernel scan."""
@@ -338,7 +366,7 @@ def _sharded_build_preknn(buf, norms, local_ns, reps, knn_ids, *,
         fwd = _shard_build_fwd(tab[0], nrm[0], local_n[0], metric, knn_k,
                                degree, alpha, pool_size, search_l,
                                search_iters, batch, rp[0], qb, chunk,
-                               knn_ids=kn[0])
+                               knn_ids=kn[0], search_pools=search_pools)
         return fwd[None]
 
     return run(buf, norms, local_ns, reps, knn_ids)
@@ -507,6 +535,8 @@ class ShardedGraphIndex:
         pool_size = min(128, max(degree * 2, 64))
         from ..index.graph import resolve_build_search_params
         b_sl, b_it = resolve_build_search_params()
+        from ..config import global_config as _gc
+        pools = getattr(_gc, "build_search_pools", "auto") == "on"
 
         put2 = NamedSharding(mesh, P(SHARD_AXIS, None))
         put1 = NamedSharding(mesh, P(SHARD_AXIS))
@@ -529,14 +559,14 @@ class ShardedGraphIndex:
                 alpha=float(alpha), mesh=mesh, metric=int(metric),
                 knn_k=knn_k, degree=degree, pool_size=pool_size,
                 search_l=b_sl, search_iters=b_it, batch=batch, qb=qb,
-                chunk=chunk)
+                chunk=chunk, search_pools=pools)
         else:
             fwd_dev = _sharded_build(
                 store.buf, store.norms, jax.device_put(local_ns, put1),
                 jax.device_put(reps, put2), alpha=float(alpha), mesh=mesh,
                 metric=int(metric), knn_k=knn_k, degree=degree,
                 pool_size=pool_size, search_l=b_sl, search_iters=b_it,
-                batch=batch, qb=qb, chunk=chunk)
+                batch=batch, qb=qb, chunk=chunk, search_pools=pools)
         fwd = np.asarray(fwd_dev)  # [S, cap_s, degree], one fetch
 
         # Host finalize per shard over local-id space.
