@@ -147,6 +147,12 @@ def device_ground_truth(x: np.ndarray, xn: np.ndarray,
                                     mask_dev, MetricType.EUCLIDEAN, k,
                                     precision=jax.lax.Precision.HIGHEST)
         gt[s:s + batch] = np.asarray(ii)
+    # Free the f32 oracle table NOW (8+ GB at 16M rows): the engine's
+    # adjacency upload follows immediately, and relying on GC to release
+    # device buffers under HBM pressure has wedged large runs.
+    tab_dev.delete()
+    norms_dev.delete()
+    mask_dev.delete()
     return gt
 
 
