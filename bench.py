@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -32,10 +33,55 @@ import numpy as np
 
 N_TIMED = 5  # timed passes; relay throughput varies run-to-run, median of 5
 RECALL_FLOOR = 0.99
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", 120))
+PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 4))
+PROBE_RETRY_SLEEP_S = int(os.environ.get("BENCH_PROBE_RETRY_SLEEP_S", 60))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit_error(err: str, **extra):
+    """The driver records stdout verbatim; a wedged backend must still
+    produce ONE parseable JSON line (round-2 postmortem: BENCH_r02 was a
+    raw traceback, rc=1, and the working engine scored nothing)."""
+    print(json.dumps({
+        "metric": "batched_qps_recall@10>=0.99",
+        "value": 0.0,
+        "unit": "qps",
+        "vs_baseline": 0.0,
+        "error": err,
+        **extra,
+    }))
+
+
+def probe_backend() -> bool:
+    """Backend health check in a time-boxed SUBPROCESS: a wedged TPU
+    backend makes bare `jax.devices()` hang forever (measured >120 s in
+    round 2), so the parent must never be the first process to touch JAX.
+    Retries over a bounded window; returns True once a trivial jitted op
+    round-trips."""
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jax.jit(lambda v: (v*2).sum())"
+            "(jnp.ones((8,128)))))")
+    for attempt in range(PROBE_ATTEMPTS):
+        t0 = time.time()
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT_S)
+            if p.returncode == 0:
+                log(f"backend probe OK ({time.time() - t0:.1f}s, "
+                    f"attempt {attempt + 1})")
+                return True
+            log(f"backend probe rc={p.returncode}: {p.stderr[-300:]}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe TIMED OUT after {PROBE_TIMEOUT_S}s "
+                f"(attempt {attempt + 1}/{PROBE_ATTEMPTS})")
+        if attempt + 1 < PROBE_ATTEMPTS:
+            time.sleep(PROBE_RETRY_SLEEP_S)
+    return False
 
 
 def make_clustered(n: int, dim: int, n_queries: int, seed: int = 0,
@@ -53,6 +99,52 @@ def make_clustered(n: int, dim: int, n_queries: int, seed: int = 0,
     queries = (x[rng.integers(0, n, n_queries)]
                + 0.1 * rng.normal(size=(n_queries, dim)).astype(np.float32))
     return x, queries
+
+
+_tiny_probe = None
+
+
+def quick_rtt_ms(reps: int = 5) -> float:
+    """Median round-trip of a trivial jitted op — sampled immediately
+    before every timed pass so passes taken in degraded relay windows
+    (>2x the run's median rtt) can be discarded and re-run instead of
+    polluting the reported median (the r2d 960-d 2,975-vs-4,100 split)."""
+    global _tiny_probe
+    import jax
+    import jax.numpy as jnp
+
+    if _tiny_probe is None:
+        f = jax.jit(lambda v: (v * 1.0000001).sum())
+        x = jnp.ones((8, 128), jnp.float32)
+        float(f(x))  # compile
+        _tiny_probe = (f, x)
+    f, x = _tiny_probe
+    rtts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(x))
+        rtts.append(time.perf_counter() - t0)
+    return float(np.median(rtts)) * 1e3
+
+
+def gated_passes(one_pass, n_timed: int = N_TIMED):
+    """Run timed passes, each tagged with a fresh rtt probe; discard
+    passes whose rtt exceeds 2x the running median and re-run (bounded at
+    2x n_timed total). Returns (kept_runs, n_discarded); each run is
+    (rtt_ms, qps, latencies)."""
+    runs = [one_pass() for _ in range(n_timed)]
+
+    def kept_of(rs):
+        med = float(np.median([r[0] for r in rs]))
+        return [r for r in rs if r[0] <= 2.0 * med], med
+
+    kept, med = kept_of(runs)
+    while len(kept) < n_timed and len(runs) < 2 * n_timed:
+        log(f"calibration gate: {len(runs) - len(kept)} pass(es) above "
+            f"2x median rtt ({med:.1f} ms); re-running")
+        runs.append(one_pass())
+        kept, med = kept_of(runs)
+    return kept, len(runs) - len(kept)
 
 
 def relay_calibration(reps: int = 15):
@@ -243,6 +335,52 @@ def make_shim(seg, graph):
 
 
 def main():
+    if not probe_backend():
+        emit_error("tpu-backend-unavailable",
+                   probe_attempts=PROBE_ATTEMPTS,
+                   probe_timeout_s=PROBE_TIMEOUT_S)
+        return
+    try:
+        run_bench()
+    except Exception as e:
+        import traceback
+        log(traceback.format_exc())
+        emit_error(f"bench-exception: {type(e).__name__}: {e}")
+
+
+def load_bench_data(n: int, dim: int, n_queries: int):
+    """Workload source: a real dataset when BENCH_DATASET points at an
+    ann-benchmarks hdf5 / TexMex dir (loaders in benchmarks/datasets.py),
+    else the synthetic clustered generator — stamped into the JSON either
+    way so the workload is never ambiguous (VERDICT r2 #8; this host has
+    zero egress, so real files only appear if the driver provides them).
+    Returns (x, queries, gt_or_None, dataset_label, n, dim)."""
+    ds_path = os.environ.get("BENCH_DATASET", "")
+    if ds_path and os.path.exists(ds_path):
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from datasets import load_dataset
+        x, queries, gt, dist = load_dataset(ds_path)
+        if dist not in ("euclidean",):
+            log(f"dataset distance '{dist}' != euclidean; normalizing "
+                "rows and using EUCLIDEAN (rank-equivalent for angular)")
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                               1e-12)
+            queries = queries / np.maximum(
+                np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+            gt = None  # reference gt is angular-ranked; recompute
+        queries = queries[:n_queries]
+        if gt is not None:
+            gt = gt[:n_queries]
+        return (np.ascontiguousarray(x, dtype=np.float32),
+                np.ascontiguousarray(queries, dtype=np.float32), gt,
+                os.path.basename(ds_path.rstrip("/")),
+                x.shape[0], x.shape[1])
+    x, queries = make_clustered(n, dim, n_queries)
+    return x, queries, None, "synthetic-clustered-3000c", n, dim
+
+
+def run_bench():
     import vectordb_tpu  # noqa: F401  (configures the compile cache)
     from vectordb_tpu.index.graph import GraphIndex
     from vectordb_tpu.schema import MetricType
@@ -252,7 +390,8 @@ def main():
     # the next batch's kernel (single-batch passes can't).
     dim, k, n_queries, batch = 128, 10, 8192, 2048
     calib = relay_calibration()
-    x, queries = make_clustered(n, dim, n_queries)
+    x, queries, gt_pre, dataset, n, dim = load_bench_data(n, dim, n_queries)
+    n_queries = queries.shape[0]
     seg, schema = make_bench_segment(n, dim, x)
 
     t0 = time.time()
@@ -260,9 +399,11 @@ def main():
     build_s = time.time() - t0
     log(f"graph build {n}x{dim}: {build_s:.1f}s")
 
-    # Exact ground truth (blocked to bound memory) — untimed.
+    # Exact ground truth (blocked to bound memory) — untimed. Real
+    # datasets ship theirs (first k columns are the exact top-k).
     xn = (x ** 2).sum(1)
-    gt = blocked_ground_truth(x, xn, queries, k)
+    gt = (gt_pre[:, :k] if gt_pre is not None and gt_pre.shape[1] >= k
+          else blocked_ground_truth(x, xn, queries, k))
 
     # Numpy/BLAS brute-force QPS (secondary reference point).
     n_base = 256
@@ -304,13 +445,17 @@ def main():
             hits += len(set(ids[i].tolist()) & set(gt[s + i].tolist()))
     recall = hits / (n_queries * k)
 
-    # Timed passes: median QPS, pooled per-batch latency percentiles.
-    qps_runs, lats = [], []
-    for _ in range(N_TIMED):
+    # Timed passes: median QPS over rtt-gated passes, pooled per-batch
+    # latency percentiles.
+    def one_pass():
+        rtt = quick_rtt_ms()
         t0 = time.time()
         _, lat = run_all()
-        qps_runs.append(n_queries / (time.time() - t0))
-        lats.extend(lat)
+        return (rtt, n_queries / (time.time() - t0), lat)
+
+    kept, n_discarded = gated_passes(one_pass)
+    qps_runs = [r[1] for r in kept]
+    lats = [v for r in kept for v in r[2]]
     qps = float(np.median(qps_runs))
     p50_ms = float(np.percentile(lats, 50) * 1e3)
     p99_ms = float(np.percentile(lats, 99) * 1e3)
@@ -347,13 +492,16 @@ def main():
                 hits2 += len(set(ids[i, :k].tolist())
                              & set(gt2[s + i].tolist()))
         recall_100k = hits2 / (n_queries * k)
-        runs2 = []
-        for _ in range(N_TIMED):
+
+        def one_pass_100k():
+            rtt = quick_rtt_ms()
             t0 = time.time()
-            run_batches(table2, queries, valid2, MetricType.EUCLIDEAN, k,
-                        batch)
-            runs2.append(n_queries / (time.time() - t0))
-        qps_100k = float(np.median(runs2))
+            _, lat = run_batches(table2, queries, valid2,
+                                 MetricType.EUCLIDEAN, k, batch)
+            return (rtt, n_queries / (time.time() - t0), lat)
+
+        kept2, _ = gated_passes(one_pass_100k)
+        qps_100k = float(np.median([r[1] for r in kept2]))
         log(f"100k comparison: {qps_100k:.0f} qps at "
             f"recall@10={recall_100k:.4f} (ref C++ 1-core: {ref_qps:.0f})")
         if recall_100k < RECALL_FLOOR:
@@ -386,6 +534,8 @@ def main():
         "numpy_brute_qps": round(cpu_qps, 1),
         "n_queries": n_queries,
         "batch": batch,
+        "dataset": dataset,
+        "passes_discarded_rtt": n_discarded,
         **calib,
     }))
 

@@ -195,8 +195,12 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         return (sids[:, :L], sexp[:, :L], sd[:, :L], visited, it + 1)
 
     state = (beam_ids, beam_exp, beam_d, visited, jnp.int32(0))
-    if 0 < Cp < C:
-        # Peel iteration 0 without compaction (see comment in body).
+    if 0 < Cp < C and max_iters > 0:
+        # Peel iteration 0 without compaction (see comment in body). The
+        # max_iters>0 guard matters: with max_iters=0 visited is [b, 0]
+        # and the peel's dynamic_update_slice of an [b, M] block would
+        # fail at trace time, where the contract is "return the seed beam
+        # untouched".
         state = body(state, cp=0)
     beam_ids, beam_exp, beam_d, visited, _ = jax.lax.while_loop(
         cond, body, state)
