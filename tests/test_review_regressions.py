@@ -168,3 +168,59 @@ def test_concurrent_load_same_db(tmp_path):
         t.join()
     assert results.count(0) == 1  # one success, rest DB_ALREADY_EXIST
     eng.stop()
+
+
+def test_corrupt_tuned_ef_sidecar_does_not_block_load(tmp_path):
+    """A tuned_ef.json whose top level is not a dict must not prevent the
+    table from loading (ADVICE r2: AttributeError escaped __init__)."""
+    import json
+    import os
+
+    import numpy as np
+
+    import vectordb_tpu as vdb
+
+    d = str(tmp_path / "db")
+    vdb.load_db("cfg", d)
+    vdb.use_db("cfg")
+    vdb.create_table("t", [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 8,
+         "metricType": "EUCLIDEAN"}])
+    x = np.random.default_rng(0).normal(size=(50, 8)).astype(np.float32)
+    vdb.insert_columns("t", {"ID": np.arange(50), "V": x}, 50)
+    vdb.dump_db("cfg", d)
+    table = vdb._db.databases["cfg"].tables["t"]
+    sidecar = table._tuned_ef_path()
+    vdb.unload_db("cfg")
+    for bad in (["not", "a", "dict"], "just a string", {"V": "NaN"}):
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as f:
+            json.dump(bad, f)
+        assert vdb.load_db("cfg", d) == 0, bad
+        code, res = vdb.query("t", "V", x[3].tolist(), ["ID"], 5)
+        assert res[0]["ID"] == 3
+        vdb.unload_db("cfg")
+
+
+def test_export_reference_graph_first_record_id(tmp_path):
+    """save_reference_graph must write the segment's first_record_id, not
+    a 0 literal, so the exported graph and data_mvp.bin agree
+    (ADVICE r2)."""
+    import struct
+
+    import numpy as np
+
+    from vectordb_tpu import compat
+    from vectordb_tpu.index.graph import GraphIndex
+
+    class _G:
+        adjacency_host = np.array([[1, -1], [0, -1]], dtype=np.int32)
+        num_rows = 2
+        nav_point = 0
+
+    path = str(tmp_path / "g.bin")
+    compat.save_reference_graph(path, _G(), first_record_id=42)
+    with open(path, "rb") as f:
+        n, first = struct.unpack("<Qq", f.read(16))
+    assert (n, first) == (2, 42)

@@ -221,3 +221,23 @@ def test_sharded_ivf_build_path(tmp_path):
         assert recall >= 0.95, recall
     finally:
         global_config.ivf_knn_threshold = old
+
+
+def test_sharded_tune_search_ef(tmp_path):
+    """tune_search_ef must work in sharded mode: enumerate fields whose
+    graphs live on the sharded plane (not Table.graphs) and compute its
+    oracle through the SHARDED flat path, never a single-chip
+    device_view replication (ADVICE r2, medium)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(3000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    assert vdb.rebuild() == 0
+    table = vdb._db.databases["sdb"].tables["t"]
+    assert table.graphs.get("V") is None  # graphs live on the sharded plane
+    assert table.sharded_fields["V"].graph is not None
+
+    report = table.tune_search_ef(sample=32, k=5, target_recall=0.95)
+    assert "V" in report, report  # no-field-name call found the field
+    assert report["V"]["recall"] >= 0.95
+    assert table.search_ef_override["V"] == report["V"]["ef"]

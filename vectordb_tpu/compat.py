@@ -375,10 +375,13 @@ def save_reference_segment(path: str, schema: TableSchema,
                    if null_maps else ""))
 
 
-def save_reference_graph(path: str, graph) -> None:
+def save_reference_graph(path: str, graph, first_record_id: int = 0) -> None:
     """Write a GraphIndex as a reference-format CSR graph
     (writer layout: ann_graph_segment.cpp:156-199). Padding (-1) entries
-    are dropped; edge order within a row is preserved."""
+    are dropped; edge order within a row is preserved.
+    `first_record_id` is the owning segment's first record id — the
+    reference reads it into ANNGraphSegment::first_record_id_, and it must
+    agree with the data_mvp.bin written by save_reference_segment."""
     from .utils import atomic_write_bytes
 
     adj = graph.adjacency_host[: graph.num_rows]
@@ -389,7 +392,7 @@ def save_reference_graph(path: str, graph) -> None:
     np.cumsum(degrees, out=offsets[1:])
     neighbors = adj[valid].astype("<i8")  # row-major: row order preserved
     out = bytearray()
-    out += struct.pack("<Qq", n, 0)
+    out += struct.pack("<Qq", n, int(first_record_id))
     out += offsets.tobytes()
     out += neighbors.tobytes()
     out += struct.pack("<q", int(graph.nav_point))

@@ -393,7 +393,9 @@ class Table:
                 data = json.load(f)
             self.search_ef_override = {str(k): int(v)
                                        for k, v in data.items() if int(v) > 0}
-        except (OSError, ValueError):
+        except (OSError, ValueError, AttributeError, TypeError):
+            # A corrupt/mistyped tuning sidecar (non-dict top level, bad
+            # values) must not prevent the table from loading.
             pass
 
     def _save_tuned_ef(self) -> None:
@@ -420,12 +422,17 @@ class Table:
         """
         ladder = (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
         report: Dict[str, Any] = {}
+        sharded = getattr(self, "sharded_fields", {})
         fields = ([field_name] if field_name
-                  else [f for f, g in self.graphs.items() if g is not None])
+                  else sorted({f for f, g in self.graphs.items()
+                               if g is not None}
+                              | {f for f, sf in sharded.items()
+                                 if sf.graph is not None}))
         seg = self.segment
         for fname in fields:
+            sf = sharded.get(fname)
             if self.graphs.get(fname) is None and \
-                    getattr(self, "sharded_fields", {}).get(fname) is None:
+                    (sf is None or sf.graph is None):
                 continue  # flat path is already exact
             valid = seg.valid_mask()
             alive = np.nonzero(valid)[0]
@@ -438,9 +445,24 @@ class Table:
                 seg.dense_host[fname][qi], dtype=np.float32)
             metric = self.metric_map[fname]
             kk = min(k, alive.size)
-            gt_cand, _ = self._flat_candidates(
-                fname, queries, valid, metric,
-                min(kk + RERANK_SLACK, alive.size), mask_cacheable=True)
+            if sf is not None:
+                # Sharded plane: the oracle must run through the SHARDED
+                # flat scan — a single-chip device_view here would
+                # replicate the entire table onto one chip (OOM at the
+                # scales sharding exists for).
+                sf.sync(seg.dense_host[fname], seg.dense_norms[fname],
+                        seg.record_number)
+                qp = np.zeros((queries.shape[0], sf.store.dim_padded),
+                              dtype=np.float32)
+                qp[:, : queries.shape[1]] = queries
+                gt_cand = sf.search(
+                    qp, valid, metric, min(kk + RERANK_SLACK, alive.size),
+                    use_graph=False, beam_width=0, expand=0,
+                    term_width=0).astype(np.int64)
+            else:
+                gt_cand, _ = self._flat_candidates(
+                    fname, queries, valid, metric,
+                    min(kk + RERANK_SLACK, alive.size), mask_cacheable=True)
             gt_ids, _ = self._rerank_candidates(fname, queries, gt_cand,
                                                 metric, kk, queries.shape[0])
             gt_sets = [set(row[row >= 0].tolist()) for row in gt_ids]
@@ -1199,7 +1221,8 @@ class Table:
         fmap = self.schema.field_map()
         for name, g in graphs.items():
             compat.save_reference_graph(
-                os.path.join(tdir, f"ann_graph_{fmap[name].id}.bin"), g)
+                os.path.join(tdir, f"ann_graph_{fmap[name].id}.bin"), g,
+                first_record_id=self.segment.first_record_id)
         return Status.OK()
 
     def swap_executors(self) -> Status:
