@@ -314,6 +314,31 @@ def run_batches(table, queries, valid, metric, k, batch,
     return out, lat
 
 
+def make_runner(table, queries, valid, metric, k, batch, mode):
+    """Pass runner for one table: 'grouped' = ONE device program per
+    batch*QueryGroupSize super-chunk with on-device exact re-rank
+    (throughput mode, default); 'pipeline' = r2's per-batch
+    dispatch/fetch/collect overlap. Returns run(collect_ids) ->
+    (ids list or None, per-dispatch latencies)."""
+    n_queries = queries.shape[0]
+
+    def run(collect_ids=False):
+        if mode != "grouped":
+            return run_batches(table, queries, valid, metric, k, batch,
+                               collect_ids)
+        t0 = time.perf_counter()
+        ids, _ = table.grouped_dense_search(
+            "V", queries, valid, metric, k, batch=batch,
+            mask_cacheable=True)
+        lat = [time.perf_counter() - t0]  # one dispatch per super-chunk
+        if collect_ids:
+            return ([ids[s:s + batch, :k]
+                     for s in range(0, n_queries, batch)], lat)
+        return None, lat
+
+    return run
+
+
 def make_shim(seg, graph):
     """A Table driving a pre-built segment+graph directly (no catalog/WAL);
     exercises the same batch_dense_search path as the full engine."""
@@ -428,13 +453,14 @@ def run_bench():
     except Exception as e:  # baseline file optional
         log(f"no REF_BASELINE.json ({e}); vs_baseline falls back to numpy")
 
-    # Engine path: batched graph search + exact re-rank.
+    # Engine path: batched graph search + exact re-rank. Default mode is
+    # the grouped one-program dispatch (BENCH_MODE=pipeline for the r2
+    # per-batch overlap).
+    mode = os.environ.get("BENCH_MODE", "grouped")
     table = make_shim(seg, graph)
     valid = seg.valid_mask()
-
-    def run_all(collect_ids=False):
-        return run_batches(table, queries, valid, MetricType.EUCLIDEAN, k,
-                           batch, collect_ids)
+    run_all = make_runner(table, queries, valid, MetricType.EUCLIDEAN, k,
+                          batch, mode)
 
     # Warmup + recall scoring (untimed).
     ids_all, _ = run_all(collect_ids=True)
@@ -481,10 +507,9 @@ def run_bench():
         gt2 = blocked_ground_truth(x[:m], xn[:m], queries, k)
         table2 = make_shim(seg2, g2)
         valid2 = seg2.valid_mask()
-
-        ids2_all, _ = run_batches(table2, queries, valid2,
-                                  MetricType.EUCLIDEAN, k, batch,
-                                  collect_ids=True)  # warmup + recall
+        run_all2 = make_runner(table2, queries, valid2,
+                               MetricType.EUCLIDEAN, k, batch, mode)
+        ids2_all, _ = run_all2(collect_ids=True)  # warmup + recall
         hits2 = 0
         for bi, s in enumerate(range(0, n_queries, batch)):
             ids = ids2_all[bi]
@@ -496,8 +521,7 @@ def run_bench():
         def one_pass_100k():
             rtt = quick_rtt_ms()
             t0 = time.time()
-            _, lat = run_batches(table2, queries, valid2,
-                                 MetricType.EUCLIDEAN, k, batch)
+            _, lat = run_all2()
             return (rtt, n_queries / (time.time() - t0), lat)
 
         kept2, _ = gated_passes(one_pass_100k)
@@ -535,6 +559,7 @@ def run_bench():
         "n_queries": n_queries,
         "batch": batch,
         "dataset": dataset,
+        "mode": mode,
         "passes_discarded_rtt": n_discarded,
         **calib,
     }))

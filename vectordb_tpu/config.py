@@ -76,6 +76,18 @@ class Config:
         # explicit values pin both stages.
         self.build_search_l = 0
         self.build_search_iters = 0
+        # On-device exact f32 re-rank ("auto" | "on" | "off"): keep an f32
+        # copy of graph rows on device and re-score candidates there,
+        # removing the host re-rank from the critical path (and making
+        # grouped throughput dispatch possible without a host stage
+        # between batches). auto = on while the copy fits
+        # device_rerank_max_bytes; "off" falls back to host re-rank.
+        self.device_rerank = "auto"
+        self.device_rerank_max_bytes = 8 << 30
+        # Throughput mode: group up to this many query batches into ONE
+        # device program (lax.scan), amortizing the per-dispatch fixed
+        # cost (~45 ms through a tunneled relay). 1 = off.
+        self.query_group_size = 4
         # Pool-SEARCH stage on/off: "auto" | "on" | "off". Measured
         # (500k x 128 and 500k x 960, 4096 queries vs exact oracle): with
         # query-time representative-cover seeding the KNN-only prune graph
@@ -134,6 +146,12 @@ class Config:
                              lambda v: v == 0 or 1 <= v <= 256, False),
         "BuildSearchPools": ("build_search_pools", str,
                              lambda v: v in ("auto", "on", "off"), False),
+        "DeviceRerank": ("device_rerank", str,
+                         lambda v: v in ("auto", "on", "off"), False),
+        "DeviceRerankMaxBytes": ("device_rerank_max_bytes", int,
+                                 lambda v: 0 <= v <= (1 << 40), False),
+        "QueryGroupSize": ("query_group_size", int,
+                           lambda v: 1 <= v <= 64, False),
     }
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
@@ -191,6 +209,9 @@ class Config:
             "BuildSearchL": self.build_search_l,
             "BuildSearchIters": self.build_search_iters,
             "BuildSearchPools": self.build_search_pools,
+            "DeviceRerank": self.device_rerank,
+            "DeviceRerankMaxBytes": self.device_rerank_max_bytes,
+            "QueryGroupSize": self.query_group_size,
         }
 
 

@@ -383,6 +383,7 @@ class GraphIndex:
         self.num_rows = int(num_rows)
         self._adjacency_dev = None
         self._rep_ids_dev = None
+        self._table_f32 = None
         self.rep_ids_host = _make_rep_ids(num_rows, nav_point)
 
     # Device views -----------------------------------------------------
@@ -424,6 +425,38 @@ class GraphIndex:
     @property
     def norms(self):
         return self.segment.device_view(self.field_name).norms
+
+    def table_f32(self, max_bytes: int):
+        """Immutable f32 device copy of the graph's rows for ON-DEVICE
+        exact re-rank (ops/beam._exact_rerank_device). The store buffer is
+        bf16 for MXU throughput; re-ranking needs unrounded values, so a
+        second f32 view is kept — rows are frozen at build time (the graph
+        never covers later inserts), so it never re-syncs. Uploaded in
+        <=128 MB donated slices (single multi-GB h2d transfers stall
+        through tunneled relays). Returns None when the copy would exceed
+        max_bytes (HBM guardrail) — callers fall back to host re-rank."""
+        if self._table_f32 is not None:
+            return self._table_f32
+        store = self.segment.device_view(self.field_name)
+        n, dp = self.num_rows, store.dim_padded
+        npad = -(-n // 1024) * 1024
+        if npad * dp * 4 > max_bytes:
+            return None
+        import jax
+
+        host = self.segment.dense_host[self.field_name]
+        rows_per_slice = max(1024, (128 << 20) // (dp * 4) // 1024 * 1024)
+        buf = jnp.zeros((npad, dp), jnp.float32)
+        upd = jax.jit(
+            lambda b, r, s: jax.lax.dynamic_update_slice(b, r, (s, 0)),
+            donate_argnums=0)
+        for s in range(0, n, rows_per_slice):
+            e = min(s + rows_per_slice, n)
+            rows = np.zeros((e - s, dp), np.float32)
+            rows[:, : store.dim] = host[s:e]
+            buf = upd(buf, jnp.asarray(rows), s)
+        self._table_f32 = buf
+        return buf
 
     # Build ------------------------------------------------------------
 

@@ -241,6 +241,70 @@ def beam_search_topk(queries, table, norms, adjacency, rep_ids, valid,
     return -neg_top, jnp.where(jnp.isfinite(-neg_top), out_ids, -1)
 
 
+def _exact_rerank_device(q_f32, table_f32, d_approx, ids, metric: int,
+                         k: int):
+    """On-device exact f32 re-rank of candidate ids: gather the candidate
+    rows from an f32 table copy and re-score ELEMENTWISE on the VPU (no
+    MXU, so no bf16 operand truncation — the precision trap that broke the
+    r2 device oracle). Same arithmetic as the host flat.exact_rerank, so
+    reported @distance values stay exact and bf16 near-ties are ordered
+    correctly without any host work."""
+    safe = jnp.clip(ids, 0, table_f32.shape[0] - 1)
+    cand = jnp.take(table_f32, safe.reshape(-1), axis=0).reshape(
+        ids.shape[0], ids.shape[1], table_f32.shape[1])
+    if metric == int(MetricType.EUCLIDEAN):
+        diff = cand - q_f32[:, None, :]
+        d = jnp.sum(diff * diff, axis=2)
+    else:
+        ip = jnp.sum(cand * q_f32[:, None, :], axis=2)
+        d = 1.0 - ip if metric == int(MetricType.COSINE) else -ip
+    d = jnp.where((ids < 0) | ~jnp.isfinite(d_approx), jnp.inf, d)
+    kk = min(k, d.shape[1])
+    neg_top, sel = jax.lax.top_k(-d, kk)
+    out_ids = jnp.take_along_axis(ids, sel, axis=1)
+    return -neg_top, jnp.where(jnp.isfinite(-neg_top), out_ids, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "beam_width", "expand", "max_iters",
+                     "num_seeds", "term_width", "k_cand", "k_out",
+                     "compact"))
+def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
+                        table_f32, metric: int, beam_width: int, expand: int,
+                        max_iters: int, num_seeds: int, term_width: int,
+                        k_cand: int, k_out: int, compact: int = 0):
+    """THROUGHPUT mode: lax.scan over G query batches inside ONE device
+    program. Through a tunneled relay every dispatch pays a large fixed
+    cost (~45 ms rtt + fetch, measured r2b) that bounded batch-2048 QPS at
+    ~22k no matter how fast the kernel got; grouping G batches amortizes
+    that cost G-ways, exactly like the build path's 16-wide lax.scan
+    grouping (index/graph._build_batch_group). Replaces the reference's
+    inter-query executor pool (executor_pool.hpp:12-31) at its actual job:
+    keeping the device busy across requests.
+
+    queries_g: [G, B, D] f32 (padded to the table lane width).
+    table_f32: optional [N_pad, D_pad] f32 copy for ON-DEVICE exact
+      re-rank — when given, each group's k_cand approx candidates are
+      exactly re-scored and the top k_out returned with EXACT distances
+      (host re-rank becomes a no-op); when None, returns the k_cand
+      approx candidates per group (k_out ignored) for the host re-rank.
+    Returns ([G, B, k] dists asc, [G, B, k] ids), -1/inf padded.
+    """
+    def step(carry, q):
+        d, ids = beam_search_topk(q, table, norms, adjacency, rep_ids,
+                                  valid, metric, beam_width, expand,
+                                  max_iters, num_seeds, term_width,
+                                  k_cand, compact)
+        if table_f32 is not None:
+            d, ids = _exact_rerank_device(q, table_f32, d, ids, metric,
+                                          k_out)
+        return carry, (d, ids)
+
+    _, (ds, ids) = jax.lax.scan(step, jnp.int32(0), queries_g)
+    return ds, ids
+
+
 def beam_search(graph, queries: np.ndarray, valid: np.ndarray,
                 metric: MetricType, beam_width: int = 128,
                 expand: int = DEFAULT_EXPAND,

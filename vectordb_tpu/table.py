@@ -512,6 +512,134 @@ class Table:
             field_name, queries, valid, metric, k,
             mask_cacheable=mask_cacheable, filter_ctx=filter_ctx, ef=ef))
 
+    def grouped_dense_search(self, field_name: str, queries: np.ndarray,
+                             valid: np.ndarray, metric: MetricType, k: int,
+                             batch: int = 2048, mask_cacheable: bool = False,
+                             filter_ctx: Optional["_FilterCtx"] = None,
+                             ef: Optional[int] = None
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """THROUGHPUT mode over a [Q, D] query set: groups up to
+        QueryGroupSize batches into ONE device program (lax.scan over
+        batches, ops/beam.beam_search_grouped) with on-device exact f32
+        re-rank, so Q queries pay the per-dispatch fixed cost (~45 ms
+        through a tunneled relay) Q/(G*B) times instead of Q/B times.
+        Replaces the reference's inter-query ExecutorPool
+        (executor_pool.hpp:12-31) at its actual job — keeping the device
+        busy across requests; the per-batch dispatch/fetch/collect pipeline
+        remains the latency mode.
+
+        Falls back to the pipelined per-batch path when the one-program
+        fast path doesn't apply (sharded plane, no graph, brute/pre-filter
+        mode, unindexed tail rows, grouping disabled).
+        """
+        seg = self.segment
+        n = seg.record_number
+        graph = self.graphs.get(field_name)
+        g_max = max(1, int(self.config.query_group_size))
+        fast = (g_max > 1 and queries.shape[0] > batch
+                and getattr(self, "sharded_fields", {}).get(field_name)
+                is None
+                and graph is not None
+                and n >= self.config.brute_force_threshold
+                and not self.config.pre_filter
+                and graph.num_rows >= n)
+        if not fast:
+            return self._pipelined_batches(field_name, queries, valid,
+                                           metric, k, batch, mask_cacheable,
+                                           filter_ctx, ef)
+        import jax
+        import jax.numpy as jnp
+
+        from .ops import beam as beam_ops
+
+        n_alive = int(np.count_nonzero(valid))
+        k_eff = min(k, max(n_alive, 1))
+        store = seg.device_view(field_name)
+        dm = self._composed_device_mask(store, valid, mask_cacheable,
+                                        filter_ctx)
+        k_cand = min(k_eff + GRAPH_SLACK, graph.num_rows)
+        bw = max(self._field_ef(field_name, ef), k_cand)
+        adj = graph.adjacency_traversal(self.config.beam_traversal_degree)
+        tf32 = None
+        if self.config.device_rerank != "off":
+            budget = (self.config.device_rerank_max_bytes
+                      if self.config.device_rerank == "auto" else (1 << 60))
+            tf32 = graph.table_f32(budget)
+        term = int(max(self.config.beam_term_width, k_eff))
+        q_total = queries.shape[0]
+        out_w = k_eff if tf32 is not None else k_cand
+        ids_all = np.empty((q_total, out_w), dtype=np.int64)
+        d_all = np.empty((q_total, out_w), dtype=np.float64)
+        super_chunk = batch * g_max
+        for s in range(0, q_total, super_chunk):
+            qc = queries[s:s + super_chunk]
+            g = -(-qc.shape[0] // batch)
+            qp = np.zeros((g * batch, store.dim_padded), dtype=np.float32)
+            qp[: qc.shape[0], : qc.shape[1]] = qc
+            if qc.shape[0] < g * batch:  # pad with a real query (row 0)
+                qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
+            qg = jnp.asarray(qp.reshape(g, batch, store.dim_padded))
+            d_dev, ids_dev = beam_ops.beam_search_grouped(
+                qg, graph.table, graph.norms, adj, graph.rep_ids, dm, tf32,
+                int(metric), int(bw), int(self.config.beam_expand), int(bw),
+                32, term, int(k_cand), int(k_eff),
+                int(self.config.beam_compact))
+            d_h, ids_h = jax.device_get((d_dev, ids_dev))
+            d_h = d_h.reshape(g * batch, -1)[: qc.shape[0]]
+            ids_h = ids_h.reshape(g * batch, -1)[: qc.shape[0]]
+            ids_np = ids_h.astype(np.int64)
+            ids_np[~np.isfinite(d_h)] = -1
+            ids_all[s:s + qc.shape[0]] = ids_np
+            d_all[s:s + qc.shape[0]] = d_h
+        if tf32 is None:
+            # No f32 view on device (HBM guardrail / config off): exact
+            # re-rank of the approx candidates on the host mirror.
+            return self._rerank_candidates(field_name, queries, ids_all,
+                                           metric, k_eff, q_total)
+        # Selective-filter top-up (guarantees full k; rare).
+        per_query_valid = (ids_all >= 0).sum(axis=1)
+        if per_query_valid.min() < min(k_eff, n_alive):
+            f_ids, _ = self._flat_candidates(
+                field_name, queries, valid, metric,
+                min(k_eff + RERANK_SLACK, max(n_alive, 1)),
+                mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
+            return self._rerank_candidates(
+                field_name, queries, np.concatenate([ids_all, f_ids], axis=1),
+                metric, k_eff, q_total)
+        return ids_all, d_all
+
+    def _pipelined_batches(self, field_name: str, queries: np.ndarray,
+                           valid: np.ndarray, metric: MetricType, k: int,
+                           batch: int, mask_cacheable: bool,
+                           filter_ctx: Optional["_FilterCtx"],
+                           ef: Optional[int]
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-batch dispatch/fetch/collect pipeline over a query set (the
+        grouped fallback): the host collect of batch i overlaps the device
+        kernel of batch i+1."""
+        outs = []
+        h_prev = None
+        for s in range(0, queries.shape[0], batch):
+            h = self.dispatch_dense_search(
+                field_name, queries[s:s + batch], valid, metric, k,
+                mask_cacheable=mask_cacheable, filter_ctx=filter_ctx, ef=ef)
+            if h_prev is not None:
+                outs.append(self.collect_dense_search(h_prev))
+            self.fetch_dense_search(h)
+            h_prev = h
+        outs.append(self.collect_dense_search(h_prev))
+        width = max(o[0].shape[1] for o in outs)
+
+        def padw(a, fill):
+            if a.shape[1] == width:
+                return a
+            pad = np.full((a.shape[0], width - a.shape[1]), fill,
+                          dtype=a.dtype)
+            return np.concatenate([a, pad], axis=1)
+
+        return (np.concatenate([padw(i, -1) for i, _ in outs], axis=0),
+                np.concatenate([padw(d, np.inf) for _, d in outs], axis=0))
+
     def dispatch_dense_search(self, field_name: str, queries: np.ndarray,
                               valid: np.ndarray, metric: MetricType,
                               k: int, mask_cacheable: bool = False,
