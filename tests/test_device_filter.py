@@ -157,3 +157,49 @@ def test_all_masked_graph_query(tmp_path):
     # Single-match filter still returns exactly that row.
     code, res = vdb.query("t3", "V", x[0].tolist(), ["ID"], 10, "ID = 700")
     assert [r["ID"] for r in res] == [700]
+
+
+def test_selectivity_gate_routes_and_boosts(tmp_path, monkeypatch):
+    """Filter selectivity drives search routing (VERDICT r3 quality fix):
+    a filter keeping < alive/SELECTIVE_FLAT_RATIO rows pre-filters via the
+    EXACT masked flat scan (no beam dispatch); a moderate filter stays on
+    the graph with a widened beam+termination window. Exactness of the
+    selective path is asserted against the numpy oracle."""
+    rng = np.random.default_rng(21)
+    n, dim = 2000, 16
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    vdb.load_db("fdb4", str(tmp_path / "fdb4"))
+    vdb.use_db("fdb4")
+    vdb.create_table("t4", [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+         "metricType": "EUCLIDEAN"}])
+    vdb.insert("t4", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+    vdb.rebuild()
+
+    from vectordb_tpu.ops import beam as beam_ops
+    calls = []
+    orig = beam_ops.beam_search_topk
+    monkeypatch.setattr(
+        beam_ops, "beam_search_topk",
+        lambda *a, **k: (calls.append(a[7]), orig(*a, **k))[1])
+
+    # Selective (5% of rows): flat pre-filter, exact, zero beam dispatches.
+    q = x[1234]
+    d = ((x - q) ** 2).sum(1)
+    oracle = [int(i) for i in np.argsort(d, kind="stable")
+              if i < 100][:10]
+    code, res = vdb.query("t4", "V", q.tolist(), ["ID"], 10, "ID < 100")
+    assert [r["ID"] for r in res] == oracle
+    assert calls == [], "selective filter must skip the graph"
+
+    # Moderate (50%): graph path with a boosted beam width.
+    code, res = vdb.query("t4", "V", q.tolist(), ["ID"], 10, "ID >= 1000")
+    assert len(calls) == 1
+    from vectordb_tpu.config import global_config
+    assert calls[0] > global_config.search_ef, \
+        "moderate filter must widen the beam"
+    oracle2 = [int(i) for i in np.argsort(d, kind="stable")
+               if i >= 1000][:10]
+    got = [r["ID"] for r in res]
+    assert len(set(got) & set(oracle2)) >= 9  # boosted recall

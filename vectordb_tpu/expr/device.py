@@ -214,10 +214,42 @@ class DeviceFilter:
         self.nodes = nodes
         self.segment = segment
         self.field_order = tuple(collect_fields(nodes))
-        self.consts = jax.device_put(collect_constants(nodes))
+        # Host copy kept for mesh-sharded evaluation: the device copy is
+        # committed to the default device, and mixing it with mesh-sharded
+        # columns in one jit would raise a device mismatch.
+        self.consts_host = collect_constants(nodes)
+        self.consts = jax.device_put(self.consts_host)
         nodes_repr = _structure_key(nodes)
         self._fn = _compiled_for_structure(nodes_repr, self.field_order,
                                            nodes_repr)
+
+    def mask_from_cols(self, valid_dev, cols, replicated_consts: bool = False):
+        """Evaluate the compiled tree over caller-supplied device columns
+        (shape-polymorphic: [capacity] single-chip or [S, cap_s] mesh-
+        sharded — the tree is elementwise, so sharding propagates).
+        `replicated_consts` passes the host constants so jit replicates
+        them over the columns' mesh instead of using the committed
+        single-device copy."""
+        consts = self.consts_host if replicated_consts else self.consts
+        return self._fn(consts, valid_dev, *cols)
+
+    def match_count(self, mask_dev) -> int:
+        """Rows passing (validity & filter), counted ON DEVICE from a
+        composed mask — one scalar d2h per (segment version, mask layout),
+        cached. Drives selectivity-aware beam widening: the filtered
+        rank-k neighbor sits near global rank k/selectivity, so the graph
+        search must explore proportionally deeper (the reference has no
+        equivalent — its post-filter just returns fewer rows,
+        vec_search_executor.cpp:906-927)."""
+        import jax.numpy as jnp
+
+        key = (self.segment.mutation_version, tuple(mask_dev.shape))
+        hit = getattr(self, "_count_cache", None)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        cnt = int(jnp.sum(mask_dev))
+        self._count_cache = (key, cnt)
+        return cnt
 
     def mask(self, valid_dev, capacity: int):
         """valid_dev: [capacity] bool device array (pure validity). Returns
@@ -229,4 +261,4 @@ class DeviceFilter:
             if c is None:
                 return None
             cols.append(c)
-        return self._fn(self.consts, valid_dev, *cols)
+        return self.mask_from_cols(valid_dev, cols)

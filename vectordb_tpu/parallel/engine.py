@@ -650,9 +650,59 @@ class ShardedDenseField:
         self.store = ShardedVectorStore(mesh, dim, dtype)
         self.graph: Optional[ShardedGraphIndex] = None
         self._mask_cache: Optional[Tuple[int, object]] = None
+        # name -> (mutation_version, cap_s, sharded column or None).
+        self._col_cache: Dict[str, Tuple[int, int, object]] = {}
 
     def sync(self, host: np.ndarray, norms_host: np.ndarray, n_rows: int):
         self.store.sync(host, norms_host, n_rows)
+
+    def _device_column(self, segment, name: str):
+        """One primitive/geo column interleaved to this field's [S, cap_s]
+        layout, device_put sharded on the mesh and cached by segment
+        mutation version (same exactness rule as the single-chip
+        segment.device_column: ints >= 2^24 fall back to host). Geo columns
+        are a (lat, lon) pair."""
+        st = self.store
+        key_ver, key_cap = segment.mutation_version, st.cap_s
+        hit = self._col_cache.get(name)
+        if hit is not None and hit[0] == key_ver and hit[1] == key_cap:
+            return hit[2]
+        n = segment.record_number
+        s = st.n_shards
+        put = NamedSharding(self.mesh, P(SHARD_AXIS, None))
+        if name in segment.geo_cols:
+            lat, lon = segment.geo_cols[name]
+            dev = (jax.device_put(_interleave(
+                       lat[:n].astype(np.float32), s, key_cap), put),
+                   jax.device_put(_interleave(
+                       lon[:n].astype(np.float32), s, key_cap), put))
+        else:
+            col = segment.primitive_cols[name]
+            if col.dtype.kind in "iu" and n and \
+                    np.abs(col[:n]).max(initial=0) >= (1 << 24):
+                dev = None  # f32 can't represent exactly; host path
+            else:
+                dev = jax.device_put(_interleave(
+                    col[:n].astype(np.float32), s, key_cap), put)
+        if len(self._col_cache) > 64:
+            self._col_cache.clear()
+        self._col_cache[name] = (key_ver, key_cap, dev)
+        return dev
+
+    def device_columns(self, segment, dfilter):
+        """Sharded device columns for a compiled DeviceFilter's field
+        order, or None when any column can't live on device exactly (the
+        caller folds the filter into the host mask). Requires the store to
+        be synced (cap_s set) — call sync() first."""
+        if self.store.cap_s == 0:
+            return None
+        cols = []
+        for fname in dfilter.field_order:
+            c = self._device_column(segment, fname)
+            if c is None:
+                return None
+            cols.append(c)
+        return cols
 
     def _sharded_mask(self, valid: np.ndarray, version: Optional[int]):
         """Per-shard slot mask on device; cached by segment mutation
@@ -668,14 +718,33 @@ class ShardedDenseField:
             self._mask_cache = (version, dm)
         return dm
 
+    def composed_mask(self, valid: np.ndarray, mask_version: Optional[int],
+                      shard_filter=None):
+        """[S, cap_s] device mask = validity (version-cached) & optional
+        device-evaluated filter. The filter runs elementwise per shard over
+        version-cached sharded columns — no host evaluation, no upload."""
+        mask_dev = self._sharded_mask(valid, mask_version)
+        if shard_filter is not None:
+            dfilter, cols = shard_filter
+            mask_dev = dfilter.mask_from_cols(mask_dev, cols,
+                                              replicated_consts=True)
+        return mask_dev
+
     def launch(self, queries_padded: np.ndarray, valid: np.ndarray,
                metric: MetricType, k: int, use_graph: bool,
                beam_width: int, expand: int, term_width: int,
-               mask_version: Optional[int] = None, compact: int = 0):
+               mask_version: Optional[int] = None, compact: int = 0,
+               shard_filter=None):
         """[B, Dp] padded queries -> DEVICE (d, ids) handles, globally
-        re-ranked top-k (async; fetch with jax.device_get)."""
+        re-ranked top-k (async; fetch with jax.device_get).
+
+        shard_filter: optional (DeviceFilter, sharded_cols) pair from
+        device_columns() — the filter evaluates elementwise per shard ON
+        DEVICE over version-cached sharded columns, so a filtered query
+        performs zero per-query host mask evaluation or upload (the
+        single-chip expr/device.py guarantee, now on the mesh)."""
         st = self.store
-        mask_dev = self._sharded_mask(valid, mask_version)
+        mask_dev = self.composed_mask(valid, mask_version, shard_filter)
         q = jnp.asarray(queries_padded)
         g = self.graph
         if use_graph and g is not None:
@@ -704,8 +773,9 @@ class ShardedDenseField:
                metric: MetricType, k: int, use_graph: bool,
                beam_width: int, expand: int, term_width: int,
                mask_version: Optional[int] = None,
-               compact: int = 0) -> np.ndarray:
+               compact: int = 0, shard_filter=None) -> np.ndarray:
         """[B, Dp] padded queries -> [B, k] global candidate ids (-1 pad)."""
         return self.fetch(self.launch(
             queries_padded, valid, metric, k, use_graph, beam_width,
-            expand, term_width, mask_version, compact))
+            expand, term_width, mask_version, compact,
+            shard_filter=shard_filter))

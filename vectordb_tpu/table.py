@@ -286,11 +286,23 @@ class Table:
         # folds into the host mask here.
         valid = seg.valid_mask()
         filter_ctx = None
+        boost = 1
+        pre_filter = False
         if compiler is not None and not uses_distance:
             if not is_sparse:
                 filter_ctx = self._device_filter(filter_nodes, compiler)
             if filter_ctx is None:
+                # Host fold (strings / LIKE / IN / huge ints). The filter
+                # count is known here for free, so apply the same
+                # selectivity-aware routing as the device path: beam
+                # widening up to the flat cutover, exact masked scan past.
+                n_pure = int(np.count_nonzero(valid))
                 valid &= compiler.mask(n_rows=n)
+                n_match = int(np.count_nonzero(valid))
+                if n_match * self.SELECTIVE_FLAT_RATIO < n_pure:
+                    pre_filter = True
+                else:
+                    boost = self._sel_boost(n_pure, n_match)
 
         if uses_distance:
             k_cand = min(max(limit, self.config.master_queue_size), n)
@@ -312,7 +324,7 @@ class Table:
                 mask_cacheable=(compiler is None or uses_distance
                                 or filter_ctx is not None),
                 batchable=(compiler is None),
-                filter_ctx=filter_ctx)
+                filter_ctx=filter_ctx, boost=boost, pre_filter=pre_filter)
 
         # Post-filter for @distance predicates (reference top-L scan,
         # vec_search_executor.cpp:906-927).
@@ -350,7 +362,8 @@ class Table:
     def _dense_search(self, field_name: str, query: np.ndarray,
                       valid: np.ndarray, metric: MetricType, k: int,
                       mask_cacheable: bool = False, batchable: bool = False,
-                      filter_ctx: Optional["_FilterCtx"] = None
+                      filter_ctx: Optional["_FilterCtx"] = None,
+                      boost: int = 1, pre_filter: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """Single-query dense search: graph path when a fresh-enough graph
         exists and the table is large, else fused flat scan. Returns exact
@@ -368,12 +381,43 @@ class Table:
             ids, dists = run.run(self.batch_dense_search, field_name,
                                  query[None, :], valid, metric, k,
                                  mask_cacheable=mask_cacheable,
-                                 filter_ctx=filter_ctx)
+                                 filter_ctx=filter_ctx, boost=boost,
+                                 pre_filter=pre_filter)
         else:
             ids, dists = self.batch_dense_search(
                 field_name, query[None, :], valid, metric, k,
-                mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
+                mask_cacheable=mask_cacheable, filter_ctx=filter_ctx,
+                boost=boost, pre_filter=pre_filter)
         return ids[0], dists[0]
+
+    # Selectivity-aware widening is capped: boost 16 x ef 64 = beam 1024,
+    # past which graph traversal saturates (measured: bw 512 -> 1024 moved
+    # 5%-selectivity recall only 0.959 -> 0.969 at 10k rows).
+    FILTER_BOOST_CAP = 16
+    # Filters keeping < alive/8 rows skip the graph entirely: the masked
+    # flat scan is EXACT and, past that selectivity, no affordable beam
+    # width recovers recall (navigation follows unfiltered distances, so
+    # filtered-rank-k neighbors sit ~k/s deep in traversal order). Mirrors
+    # the reference's PreFilter brute mode (vec_search_executor.cpp:
+    # 770-831, config.hpp:25) but engages adaptively per query instead of
+    # via a global config switch.
+    SELECTIVE_FLAT_RATIO = 8
+
+    @classmethod
+    def _sel_boost(cls, n_alive: int, n_match: int) -> int:
+        """Power-of-2 beam-width multiplier ~ 2/selectivity. A filter
+        keeping fraction s of rows pushes the filtered rank-k neighbor to
+        global rank ~k/s, and measured recall needs ~2x that exploration
+        margin (bw 256 at s=0.3 -> 0.9875, bw 512 -> 0.9938). Quantized to
+        powers of two so each table compiles a bounded set of kernel
+        widths."""
+        r = n_alive / max(n_match, 1)
+        if r <= 1.5:
+            return 1
+        b = 1
+        while b < 2.0 * r and b < cls.FILTER_BOOST_CAP:
+            b *= 2
+        return b
 
     def _field_ef(self, field_name: str, ef: Optional[int] = None) -> int:
         """Beam width for a field: explicit arg > tuned override > global
@@ -494,7 +538,8 @@ class Table:
                            valid: np.ndarray, metric: MetricType, k: int,
                            mask_cacheable: bool = False,
                            filter_ctx: Optional["_FilterCtx"] = None,
-                           ef: Optional[int] = None
+                           ef: Optional[int] = None, boost: int = 1,
+                           pre_filter: bool = False
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched dense search over [B, D] queries -> ([B, k] ids, dists).
 
@@ -510,7 +555,8 @@ class Table:
         """
         return self.collect_dense_search(self.dispatch_dense_search(
             field_name, queries, valid, metric, k,
-            mask_cacheable=mask_cacheable, filter_ctx=filter_ctx, ef=ef))
+            mask_cacheable=mask_cacheable, filter_ctx=filter_ctx, ef=ef,
+            boost=boost, pre_filter=pre_filter))
 
     def grouped_dense_search(self, field_name: str, queries: np.ndarray,
                              valid: np.ndarray, metric: MetricType, k: int,
@@ -558,14 +604,27 @@ class Table:
         dm = self._composed_device_mask(store, valid, mask_cacheable,
                                         filter_ctx)
         k_cand = min(k_eff + GRAPH_SLACK, graph.num_rows)
-        bw = max(self._field_ef(field_name, ef), k_cand)
+        boost = 1
+        if filter_ctx is not None:
+            n_match = filter_ctx.device.match_count(dm)
+            if n_match * self.SELECTIVE_FLAT_RATIO < n_alive:
+                # Selective filter: the per-batch path takes the exact
+                # pre-filter flat scan (same gate as dispatch).
+                return self._pipelined_batches(field_name, queries, valid,
+                                               metric, k, batch,
+                                               mask_cacheable, filter_ctx,
+                                               ef)
+            boost = self._sel_boost(n_alive, n_match)
+        bw = max(self._field_ef(field_name, ef) * boost, k_cand)
         adj = graph.adjacency_traversal(self.config.beam_traversal_degree)
         tf32 = None
         if self.config.device_rerank != "off":
             budget = (self.config.device_rerank_max_bytes
                       if self.config.device_rerank == "auto" else (1 << 60))
             tf32 = graph.table_f32(budget)
-        term = int(max(self.config.beam_term_width, k_eff))
+        term = int(min(max(self.config.beam_term_width, k_eff) * boost, bw))
+        if boost > 1:
+            term = int(min(max(term, bw // 4), bw))
         q_total = queries.shape[0]
         out_w = k_eff if tf32 is not None else k_cand
         ids_all = np.empty((q_total, out_w), dtype=np.int64)
@@ -644,7 +703,8 @@ class Table:
                               valid: np.ndarray, metric: MetricType,
                               k: int, mask_cacheable: bool = False,
                               filter_ctx: Optional["_FilterCtx"] = None,
-                              ef: Optional[int] = None):
+                              ef: Optional[int] = None, boost: int = 1,
+                              pre_filter: bool = False):
         """Stage 1: pad the batch and launch the device kernel(s); device
         work proceeds asynchronously. Returns an opaque handle for
         collect_dense_search()."""
@@ -670,25 +730,60 @@ class Table:
 
         sharded = getattr(self, "sharded_fields", {}).get(field_name)
         if sharded is not None:
+            shard_filter = None
             if filter_ctx is not None:
-                # Sharded plane keeps the host mask path (its masks are
-                # per-shard); fold the filter into `valid` here.
-                valid = valid & filter_ctx.compiler.mask(n_rows=n)
-                h["valid"] = valid
-                h["n_alive"] = n_alive = int(np.count_nonzero(valid))
-                h["k_eff"] = k_eff = min(k, max(n_alive, 1))
-                h["mask_cacheable"] = mask_cacheable = False
+                if filter_ctx.device is not None:
+                    # Device-compilable filter: evaluate it per shard ON
+                    # DEVICE over version-cached sharded columns — zero
+                    # per-query host mask evaluation or [N] upload, the
+                    # single-chip expr/device.py guarantee at multi-chip
+                    # scale. Sync first so the store's layout (cap_s) is
+                    # known for the column interleave.
+                    sharded.sync(seg.dense_host[field_name],
+                                 seg.dense_norms[field_name], n)
+                    cols = sharded.device_columns(seg, filter_ctx.device)
+                    if cols is not None:
+                        shard_filter = (filter_ctx.device, cols)
+                if shard_filter is None:
+                    # Column not device-representable (strings / huge
+                    # ints): fold the filter into the host mask, widening
+                    # the beam by the (free, host-known) selectivity.
+                    n_pure = n_alive
+                    valid = valid & filter_ctx.compiler.mask(n_rows=n)
+                    h["valid"] = valid
+                    h["n_alive"] = n_alive = int(np.count_nonzero(valid))
+                    h["k_eff"] = k_eff = min(k, max(n_alive, 1))
+                    h["mask_cacheable"] = mask_cacheable = False
+                    if n_alive * self.SELECTIVE_FLAT_RATIO < n_pure:
+                        pre_filter = True
+                    else:
+                        boost = max(boost, self._sel_boost(n_pure, n_alive))
                 h["filter_ctx"] = None
             h["mode"] = "sharded"
             h["sf"] = sharded
             h["dev"], h["shard_ctx"] = self._sharded_launch(
                 sharded, field_name, queries, valid, metric, k_eff, n,
-                n_alive, mask_cacheable, ef=ef)
+                n_alive, mask_cacheable, ef=ef, shard_filter=shard_filter,
+                boost=boost, pre_filter=pre_filter)
             return h
 
         use_graph = (graph is not None
                      and n >= self.config.brute_force_threshold
-                     and not self.config.pre_filter)
+                     and not self.config.pre_filter and not pre_filter)
+        dm = None
+        if use_graph and filter_ctx is not None:
+            # Selectivity gate BEFORE committing to the graph: count the
+            # filter's matches on device (cached scalar per filter+version)
+            # and either widen the beam (~2/s) or, past the flat cutover,
+            # pre-filter with the exact masked scan.
+            store = seg.device_view(field_name)
+            dm = self._composed_device_mask(store, valid, mask_cacheable,
+                                            filter_ctx)
+            n_match = filter_ctx.device.match_count(dm)
+            if n_match * self.SELECTIVE_FLAT_RATIO < n_alive:
+                use_graph = False
+            else:
+                boost = max(boost, self._sel_boost(n_alive, n_match))
         if use_graph:
             from .ops import beam as beam_ops
             # Mask-aware device search: traversal sees every row, the
@@ -696,20 +791,29 @@ class Table:
             # (reference post-filter semantics), and only [B, k_out] is
             # fetched — transfer size, not compute, dominates latency here.
             store = seg.device_view(field_name)
-            dm = self._composed_device_mask(store, valid, mask_cacheable,
-                                            filter_ctx)
+            if dm is None:
+                dm = self._composed_device_mask(store, valid,
+                                                mask_cacheable, filter_ctx)
             k_out = min(k_eff + GRAPH_SLACK, graph.num_rows)
             import jax.numpy as jnp
             qp = np.zeros((queries.shape[0], store.dim_padded),
                           dtype=np.float32)
             qp[:, : queries.shape[1]] = queries
-            bw = max(self._field_ef(field_name, ef), k_out)
+            bw = max(self._field_ef(field_name, ef) * boost, k_out)
             adj = graph.adjacency_traversal(self.config.beam_traversal_degree)
+            # The termination window scales with the boost too: stopping
+            # once the global top-term entries are expanded would end a
+            # filtered walk before it reaches filtered-rank-k neighbors.
+            # Measured (10k x 128, s=0.3): term bw/4 at bw=512 -> 0.994
+            # filtered recall vs 0.975 at term 96.
+            term = min(max(self.config.beam_term_width, k_eff) * boost, bw)
+            if boost > 1:
+                term = min(max(term, bw // 4), bw)
             d_dev, ids_dev = beam_ops.beam_search_topk(
                 jnp.asarray(qp), graph.table, graph.norms, adj,
                 graph.rep_ids, dm, int(metric), int(bw),
                 int(self.config.beam_expand), int(bw), 32,
-                int(max(self.config.beam_term_width, k_eff)), int(k_out),
+                int(term), int(k_out),
                 int(self.config.beam_compact))
             h["mode"] = "graph"
             h["dev"] = (d_dev, ids_dev)
@@ -756,7 +860,8 @@ class Table:
                         ctx["qp"], ctx["valid"], metric, ctx["k_cand"],
                         use_graph=False, beam_width=ctx["beam"],
                         expand=self.config.beam_expand,
-                        term_width=ctx["term"], mask_version=ctx["ver"])
+                        term_width=ctx["term"], mask_version=ctx["ver"],
+                        shard_filter=ctx["shard_filter"])
                     cand_ids = np.concatenate([cand_ids, f_ids], axis=1)
         elif h["mode"] == "graph":
             d_h, ids_h = h["dev_host"]
@@ -791,7 +896,9 @@ class Table:
     def _sharded_launch(self, sf, field_name: str, queries: np.ndarray,
                         valid: np.ndarray, metric: MetricType,
                         k_eff: int, n: int, n_alive: int,
-                        mask_cacheable: bool, ef: Optional[int] = None):
+                        mask_cacheable: bool, ef: Optional[int] = None,
+                        shard_filter=None, boost: int = 1,
+                        pre_filter: bool = False):
         """Launch candidate generation on the sharded data plane: per-shard
         beam (+tail) or per-shard flat, all_gather-merged to GLOBAL ids.
         Returns (device handles, context for collect's top-up)."""
@@ -802,7 +909,7 @@ class Table:
         qp[:, : queries.shape[1]] = queries
         use_graph = (sf.graph is not None
                      and n >= self.config.brute_force_threshold
-                     and not self.config.pre_filter)
+                     and not self.config.pre_filter and not pre_filter)
         k_cand = min(k_eff + GRAPH_SLACK, max(n_alive, 1))
         ver = None
         if mask_cacheable:
@@ -812,8 +919,22 @@ class Table:
             # query at this version (see _device_mask).
             ver = seg.mutation_version
             valid = seg.valid_mask()
-        beam = max(self._field_ef(field_name, ef), k_eff + GRAPH_SLACK)
-        term = max(self.config.beam_term_width, k_eff + GRAPH_SLACK)
+        if shard_filter is not None and use_graph:
+            # Selectivity gate: count matches on device (cached scalar per
+            # filter+version); widen the per-shard beam ~2/s, or pre-filter
+            # via the exact sharded flat scan past the cutover.
+            dm = sf.composed_mask(valid, ver, shard_filter)
+            n_match = shard_filter[0].match_count(dm)
+            if n_match * self.SELECTIVE_FLAT_RATIO < n_alive:
+                use_graph = False
+            else:
+                boost = max(boost, self._sel_boost(n_alive, n_match))
+        beam = max(self._field_ef(field_name, ef) * boost,
+                   k_eff + GRAPH_SLACK)
+        term = min(max(self.config.beam_term_width,
+                       k_eff + GRAPH_SLACK) * boost, beam)
+        if boost > 1:
+            term = min(max(term, beam // 4), beam)
         # BeamCompact is tuned against the single-chip traversal width
         # (expand * beam_traversal_degree); the sharded plane traverses its
         # FULL adjacency, so scale the cut to the same ratio.
@@ -824,9 +945,11 @@ class Table:
             compact = compact * r_shard // max(r_single, 1)
         dev = sf.launch(qp, valid, metric, k_cand, use_graph=use_graph,
                         beam_width=beam, expand=self.config.beam_expand,
-                        term_width=term, mask_version=ver, compact=compact)
+                        term_width=term, mask_version=ver, compact=compact,
+                        shard_filter=shard_filter)
         ctx = {"qp": qp, "valid": valid, "ver": ver, "use_graph": use_graph,
-               "k_cand": k_cand, "beam": beam, "term": term}
+               "k_cand": k_cand, "beam": beam, "term": term,
+               "shard_filter": shard_filter}
         return dev, ctx
 
     def _rerank_candidates(self, field_name: str, queries: np.ndarray,
