@@ -221,6 +221,11 @@ def device_ground_truth(x: np.ndarray, xn: np.ndarray,
     npad = -(-n // 8192) * 8192
     tab = np.zeros((npad, dp), np.float32)
     tab[:n, :d] = x
+    # HBM pre-check: this f32 oracle is the largest single allocation in a
+    # bench run (8+ GB at 16M rows) and near-capacity pressure WEDGES this
+    # backend instead of erroring (round-2 outage).
+    from vectordb_tpu.utils import require_hbm
+    require_hbm(tab.nbytes + npad * 5, "bench oracle table")
     tab_dev = jnp.asarray(tab)
     del tab
     norms = np.zeros(npad, np.float32)
@@ -355,6 +360,8 @@ def make_shim(seg, graph):
             self.metric_map = {"V": MetricType.EUCLIDEAN}
             self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
             self.search_ef_override = {}
+            self.is_leader = False  # tune_search_ef: skip sidecar persist
+            self.schema = seg.schema
 
     return _Shim()
 
@@ -459,6 +466,12 @@ def run_bench():
     mode = os.environ.get("BENCH_MODE", "grouped")
     table = make_shim(seg, graph)
     valid = seg.valid_mask()
+    # Recall-targeted auto-tune (engine feature, untimed like the build):
+    # picks the smallest beam width meeting the target on self-queries —
+    # the role of hand-tuning the reference's queue-size config
+    # (config.hpp:18-24). Target 0.995 leaves margin over the 0.99 floor.
+    tuned = table.tune_search_ef(target_recall=0.995, k=k)
+    log(f"tune_search_ef: {tuned.get('V', {})}")
     run_all = make_runner(table, queries, valid, MetricType.EUCLIDEAN, k,
                           batch, mode)
 
@@ -507,6 +520,8 @@ def run_bench():
         gt2 = blocked_ground_truth(x[:m], xn[:m], queries, k)
         table2 = make_shim(seg2, g2)
         valid2 = seg2.valid_mask()
+        tuned2 = table2.tune_search_ef(target_recall=0.995, k=k)
+        log(f"tune_search_ef (100k): {tuned2.get('V', {})}")
         run_all2 = make_runner(table2, queries, valid2,
                                MetricType.EUCLIDEAN, k, batch, mode)
         ids2_all, _ = run_all2(collect_ids=True)  # warmup + recall
@@ -560,6 +575,7 @@ def run_bench():
         "batch": batch,
         "dataset": dataset,
         "mode": mode,
+        "tuned_ef": table.search_ef_override.get("V", 0),
         "passes_discarded_rtt": n_discarded,
         **calib,
     }))

@@ -35,8 +35,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import (N_TIMED, device_ground_truth, log, make_bench_segment,
-                   make_clustered, make_shim, relay_calibration,
-                   run_batches)  # noqa: E402
+                   make_clustered, make_runner, make_shim,
+                   relay_calibration, run_batches)  # noqa: E402
 
 
 def main():
@@ -124,10 +124,13 @@ def main():
 
     table = make_shim(seg, graph)
     valid = seg.valid_mask()
-
-    def run_all(collect_ids=False):
-        return run_batches(table, queries, valid, MetricType.EUCLIDEAN, k,
-                           batch, collect_ids)
+    # Recall-targeted auto-tune (engine feature, untimed): replaces the
+    # hard-coded SearchEf, same as bench.py r3.
+    tuned = table.tune_search_ef(target_recall=0.995, k=k)
+    log(f"tune_search_ef: {tuned.get('V', {})}")
+    mode = os.environ.get("SCALE_MODE", "grouped")
+    run_all = make_runner(table, queries, valid, MetricType.EUCLIDEAN, k,
+                          batch, mode)
 
     ids_all, _ = run_all(collect_ids=True)  # warmup + recall, untimed
     hits = 0
@@ -163,6 +166,8 @@ def main():
         "batch_p99_ms": round(p99_ms, 1),
         "qps_runs": [round(r, 1) for r in qps_runs],
         "n": n, "dim": dim, "n_queries": n_queries,
+        "mode": mode,
+        "tuned_ef": table.search_ef_override.get("V", 0),
         **calib,
     }
     print(json.dumps(result), flush=True)

@@ -96,3 +96,19 @@ def test_gated_passes_discards_degraded_windows(bench_mod, monkeypatch):
     assert discarded == 1
     assert len(kept) == 5
     assert all(r[0] <= 2 * 11.0 + 1e-9 for r in kept)
+
+
+def test_shim_tune_search_ef(bench_mod):
+    """bench.py auto-tunes ef on the shim before timed passes (r3); the
+    tuner touches schema/is_leader/graphs — attributes the shim must
+    carry (the r3b bench run died on a missing .schema)."""
+    n, dim = 600, 16
+    x, _ = bench_mod.make_clustered(n, dim, 8, n_centers=20)
+    seg, _ = bench_mod.make_bench_segment(n, dim, x)
+
+    from vectordb_tpu.index.graph import GraphIndex
+    graph = GraphIndex.build(seg, "V", MetricType.EUCLIDEAN)
+    table = bench_mod.make_shim(seg, graph)
+    report = table.tune_search_ef(target_recall=0.9, sample=16, k=5)
+    assert "V" in report
+    assert table.search_ef_override["V"] == report["V"]["ef"]

@@ -440,7 +440,15 @@ class GraphIndex:
         store = self.segment.device_view(self.field_name)
         n, dp = self.num_rows, store.dim_padded
         npad = -(-n // 1024) * 1024
-        if npad * dp * 4 > max_bytes:
+        need = npad * dp * 4
+        if need > max_bytes:
+            return None
+        # Live HBM check on top of the static budget: near-capacity
+        # pressure wedges this backend instead of erroring, and the f32
+        # view is optional (host re-rank is the fallback).
+        from ..utils import device_hbm_stats
+        stats = device_hbm_stats()
+        if stats is not None and need > 0.6 * (stats[1] - stats[0]):
             return None
         import jax
 

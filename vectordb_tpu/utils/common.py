@@ -62,6 +62,58 @@ def fetch_to_host(arr, chunk_bytes: int = 16 << 20):
     return out
 
 
+def device_hbm_stats(device=None):
+    """(bytes_in_use, bytes_limit) for a device, or None when the backend
+    doesn't report memory stats (CPU / some plugin backends)."""
+    import jax
+
+    d = device if device is not None else jax.devices()[0]
+    try:
+        stats = d.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    used = stats.get("bytes_in_use")
+    limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    if used is None or not limit:
+        return None
+    return int(used), int(limit)
+
+
+def require_hbm(bytes_needed: int, label: str = "",
+                headroom: float = 0.9) -> bool:
+    """HBM pre-check before a phase that uploads large buffers.
+
+    Round-2 postmortem: HBM pressure near capacity on this backend WEDGES
+    the device instead of raising (a 16M-row query phase hung on an
+    adjacency upload with an 8.2 GB oracle table still resident), and
+    hard-killing the wedged process took the tunneled backend down for
+    90+ minutes. Raising here turns that outage into a catchable error.
+
+    Returns True when the allocation fits (or stats are unavailable —
+    can't block on unknown); raises MemoryError when it would exceed
+    `headroom` x free HBM.
+    """
+    from ..logger import logger
+
+    stats = device_hbm_stats()
+    if stats is None:
+        logger.debug(f"HBM pre-check ({label}): no memory stats; "
+                     f"proceeding with {bytes_needed / 1e9:.2f} GB request")
+        return True
+    used, limit = stats
+    free = limit - used
+    logger.info(f"HBM pre-check ({label}): need {bytes_needed / 1e9:.2f} GB,"
+                f" free {free / 1e9:.2f} GB of {limit / 1e9:.2f} GB")
+    if bytes_needed > headroom * free:
+        raise MemoryError(
+            f"HBM pre-check failed ({label}): need "
+            f"{bytes_needed / 1e9:.2f} GB but only {free / 1e9:.2f} GB free "
+            f"({limit / 1e9:.2f} GB total); refusing to wedge the device")
+    return True
+
+
 class AtomicCounter:
     """Monotonic counter with a lock (reference utils/atomic_counter.hpp)."""
 
