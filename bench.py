@@ -360,6 +360,7 @@ def make_shim(seg, graph):
             self.metric_map = {"V": MetricType.EUCLIDEAN}
             self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
             self.search_ef_override = {}
+            self.search_iters_override = {}
             self.is_leader = False  # tune_search_ef: skip sidecar persist
             self.schema = seg.schema
 
@@ -464,6 +465,11 @@ def run_bench():
     # the grouped one-program dispatch (BENCH_MODE=pipeline for the r2
     # per-batch overlap).
     mode = os.environ.get("BENCH_MODE", "grouped")
+    # Two super-chunks per pass: the grouped path dispatches ahead, so
+    # chunk i+1's query upload (~40 ms h2d through the relay) and chunk
+    # i-1's fetch overlap chunk i's kernel instead of serializing.
+    from vectordb_tpu.config import global_config
+    global_config.query_group_size = int(os.environ.get("BENCH_GROUP", 2))
     table = make_shim(seg, graph)
     valid = seg.valid_mask()
     # Recall-targeted auto-tune (engine feature, untimed like the build):
@@ -576,6 +582,7 @@ def run_bench():
         "dataset": dataset,
         "mode": mode,
         "tuned_ef": table.search_ef_override.get("V", 0),
+        "tuned_iters": table.search_iters_override.get("V", 0),
         "passes_discarded_rtt": n_discarded,
         **calib,
     }))

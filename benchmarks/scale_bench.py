@@ -168,6 +168,7 @@ def main():
         "n": n, "dim": dim, "n_queries": n_queries,
         "mode": mode,
         "tuned_ef": table.search_ef_override.get("V", 0),
+        "tuned_iters": table.search_iters_override.get("V", 0),
         **calib,
     }
     print(json.dumps(result), flush=True)

@@ -436,3 +436,44 @@ class TestTuneSearch:
         code, resp = call(rest, "POST", "/api/tunerest/data/tunesearch",
                           {"table": "missing"})
         assert code in (404, 500)
+
+
+def test_tuned_sidecar_roundtrip_and_legacy(tmp_path):
+    """tune_search_ef persists {"ef", "iters"} (r3 format) and reload
+    applies both overrides; a legacy bare-int sidecar still loads."""
+    import json as _json
+
+    import numpy as np
+
+    import vectordb_tpu as vdb
+
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(800, 16)).astype(np.float32)
+    vdb.load_db("tdb", str(tmp_path / "tdb"))
+    vdb.use_db("tdb")
+    vdb.create_table("t", [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 16,
+         "metricType": "EUCLIDEAN"}])
+    vdb.insert_columns("t", {"ID": np.arange(800), "V": x}, 800)
+    vdb.rebuild()
+    table = vdb._db.databases["tdb"].tables["t"]
+    report = table.tune_search_ef(target_recall=0.9, sample=16, k=5)
+    assert "V" in report and "iters" in report["V"]
+    with open(table._tuned_ef_path()) as f:
+        data = _json.load(f)
+    assert data["V"]["ef"] == report["V"]["ef"]
+    vdb.unload_db("tdb")
+
+    # Reload applies the sidecar; then a legacy int-format file too.
+    vdb.load_db("tdb", str(tmp_path / "tdb"))
+    vdb.use_db("tdb")
+    table = vdb._db.databases["tdb"].tables["t"]
+    assert table.search_ef_override["V"] == report["V"]["ef"]
+    if report["V"]["iters"]:
+        assert table.search_iters_override["V"] == report["V"]["iters"]
+    with open(table._tuned_ef_path(), "w") as f:
+        _json.dump({"V": 48}, f)
+    table._load_tuned_ef()
+    assert table.search_ef_override["V"] == 48
+    vdb.unload_db("tdb")

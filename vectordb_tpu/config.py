@@ -52,6 +52,13 @@ class Config:
         # part of the reverse slack). 48 of 64 cut gathered rows 25% with
         # no recall change in the 500k sweep; 0 = full adjacency.
         self.beam_traversal_degree = 48
+        # Traversal iteration cap (0 = beam width, the safe default).
+        # Iterations are the dominant query cost (each gathers up to
+        # BeamCompact rows/query); tune_search_ef tunes a per-field
+        # override jointly with SearchEf — measured at 500k x 128,
+        # 4 iterations hold recall@10 0.9999 at ~2x the QPS of the
+        # full-width default.
+        self.beam_iters = 0
         # Candidate compaction: per traversal iteration, gather at most this
         # many candidate rows after dropping padding/in-beam/duplicate/
         # already-visited candidates (0 = gather all expand*degree).
@@ -128,6 +135,7 @@ class Config:
                        lambda v: 1.0 <= v <= 2.0, False),
         "BeamExpand": ("beam_expand", int, lambda v: 1 <= v <= 32, False),
         "WalTextFormat": ("wal_text_format", bool, None, False),
+        "BeamIters": ("beam_iters", int, lambda v: 0 <= v <= 16000, False),
         "BeamTermWidth": ("beam_term_width", int,
                           lambda v: 0 <= v <= 16000, False),
         "BeamTraversalDegree": ("beam_traversal_degree", int,
@@ -200,6 +208,7 @@ class Config:
             "GraphAlpha": self.graph_alpha,
             "BeamExpand": self.beam_expand,
             "WalTextFormat": self.wal_text_format,
+            "BeamIters": self.beam_iters,
             "BeamTermWidth": self.beam_term_width,
             "BeamTraversalDegree": self.beam_traversal_degree,
             "BeamCompact": self.beam_compact,

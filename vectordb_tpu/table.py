@@ -108,6 +108,7 @@ class Table:
         # Per-field tuned beam width (tune_search_ef); overrides the global
         # SearchEf when set. Persisted beside the graph artifacts.
         self.search_ef_override: Dict[str, int] = {}
+        self.search_iters_override: Dict[str, int] = {}
         self._load_tuned_ef()
         # Multi-chip data plane (config.shard_count >= 2): each dense field
         # gets a row-sharded device store + per-shard graphs on the mesh.
@@ -427,6 +428,19 @@ class Table:
         return int(self.search_ef_override.get(field_name, 0)
                    or self.config.search_ef)
 
+    def _field_iters(self, field_name: str, bw: int,
+                     iters: Optional[int] = None) -> int:
+        """Traversal iteration cap: explicit arg > tuned override > global
+        BeamIters config > beam width (the safe full-depth default).
+        Iterations are the dominant query cost — each gathers up to
+        BeamCompact rows per query — and on clustered data the rep-cover
+        seeding leaves only a short local walk (measured 500k x 128:
+        4 iters hold recall 0.9999 at ~2x the full-depth QPS)."""
+        it = int(iters if iters is not None and iters > 0 else
+                 self.search_iters_override.get(field_name, 0)
+                 or getattr(self.config, "beam_iters", 0) or bw)
+        return min(it, bw)
+
     def _tuned_ef_path(self) -> str:
         return os.path.join(self.db_path, str(self.schema.id),
                             "tuned_ef.json")
@@ -435,8 +449,14 @@ class Table:
         try:
             with open(self._tuned_ef_path()) as f:
                 data = json.load(f)
-            self.search_ef_override = {str(k): int(v)
-                                       for k, v in data.items() if int(v) > 0}
+            for k, v in data.items():
+                if isinstance(v, dict):  # r3 format: {"ef": .., "iters": ..}
+                    if int(v.get("ef", 0)) > 0:
+                        self.search_ef_override[str(k)] = int(v["ef"])
+                    if int(v.get("iters", 0)) > 0:
+                        self.search_iters_override[str(k)] = int(v["iters"])
+                elif int(v) > 0:  # legacy format: bare ef int
+                    self.search_ef_override[str(k)] = int(v)
         except (OSError, ValueError, AttributeError, TypeError):
             # A corrupt/mistyped tuning sidecar (non-dict top level, bad
             # values) must not prevent the table from loading.
@@ -448,8 +468,11 @@ class Table:
         from .utils import atomic_write_bytes, ensure_dir
 
         ensure_dir(os.path.dirname(self._tuned_ef_path()))
+        merged = {f: {"ef": e,
+                      "iters": self.search_iters_override.get(f, 0)}
+                  for f, e in self.search_ef_override.items()}
         atomic_write_bytes(self._tuned_ef_path(),
-                           json.dumps(self.search_ef_override).encode())
+                           json.dumps(merged).encode())
 
     def tune_search_ef(self, field_name: Optional[str] = None,
                        target_recall: float = 0.99, sample: int = 256,
@@ -464,7 +487,13 @@ class Table:
         queue sizes are static config (config.hpp:18-24); an accuracy-
         targeted auto-tune replaces hand-tuning them per deployment.
         """
-        ladder = (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+        # Joint (ef, iters) ladder, cheapest first: iterations are the
+        # dominant cost (row gathers per iteration), so shallow walks at
+        # small beam widths are tried before widening; iters=0 = full
+        # beam-width depth (the pre-r3 behavior, the robust tail).
+        ladder = ((16, 4), (24, 4), (16, 8), (24, 8), (32, 8), (48, 8),
+                  (16, 0), (24, 0), (32, 0), (48, 0), (64, 0), (96, 0),
+                  (128, 0), (192, 0), (256, 0), (384, 0), (512, 0))
         report: Dict[str, Any] = {}
         sharded = getattr(self, "sharded_fields", {})
         fields = ([field_name] if field_name
@@ -512,25 +541,36 @@ class Table:
             gt_sets = [set(row[row >= 0].tolist()) for row in gt_ids]
             tried = []
             chosen, chosen_recall = ladder[-1], 0.0
-            for ef in ladder:
+            for ef, iters in ladder:
+                if sf is not None and iters:
+                    # Sharded launch exposes no per-call iteration cap;
+                    # only full-depth rungs apply there.
+                    continue
                 ids, _ = self.batch_dense_search(fname, queries, valid,
                                                  metric, kk,
-                                                 mask_cacheable=True, ef=ef)
+                                                 mask_cacheable=True, ef=ef,
+                                                 iters=iters)
                 hits = sum(len(set(row[row >= 0].tolist()) & g)
                            for row, g in zip(ids, gt_sets))
                 total = sum(len(g) for g in gt_sets)
                 rec = hits / max(total, 1)
-                tried.append({"ef": ef, "recall": round(rec, 4)})
+                tried.append({"ef": ef, "iters": iters,
+                              "recall": round(rec, 4)})
                 if rec >= target_recall:
-                    chosen, chosen_recall = ef, rec
+                    chosen, chosen_recall = (ef, iters), rec
                     break
-                chosen, chosen_recall = ef, rec
-            self.search_ef_override[fname] = chosen
-            report[fname] = {"ef": chosen,
+                chosen, chosen_recall = (ef, iters), rec
+            self.search_ef_override[fname] = chosen[0]
+            if chosen[1]:
+                self.search_iters_override[fname] = chosen[1]
+            else:
+                self.search_iters_override.pop(fname, None)
+            report[fname] = {"ef": chosen[0], "iters": chosen[1],
                              "recall": round(chosen_recall, 4),
                              "target": target_recall, "tried": tried}
             logger.info(f"tune_search_ef {self.schema.name}.{fname}: "
-                        f"ef={chosen} recall@{kk}={chosen_recall:.4f}")
+                        f"ef={chosen[0]} iters={chosen[1]} "
+                        f"recall@{kk}={chosen_recall:.4f}")
         self._save_tuned_ef()
         return report
 
@@ -539,7 +579,8 @@ class Table:
                            mask_cacheable: bool = False,
                            filter_ctx: Optional["_FilterCtx"] = None,
                            ef: Optional[int] = None, boost: int = 1,
-                           pre_filter: bool = False
+                           pre_filter: bool = False,
+                           iters: Optional[int] = None
                            ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched dense search over [B, D] queries -> ([B, k] ids, dists).
 
@@ -556,7 +597,7 @@ class Table:
         return self.collect_dense_search(self.dispatch_dense_search(
             field_name, queries, valid, metric, k,
             mask_cacheable=mask_cacheable, filter_ctx=filter_ctx, ef=ef,
-            boost=boost, pre_filter=pre_filter))
+            boost=boost, pre_filter=pre_filter, iters=iters))
 
     def grouped_dense_search(self, field_name: str, queries: np.ndarray,
                              valid: np.ndarray, metric: MetricType, k: int,
@@ -625,11 +666,30 @@ class Table:
         term = int(min(max(self.config.beam_term_width, k_eff) * boost, bw))
         if boost > 1:
             term = int(min(max(term, bw // 4), bw))
+        max_iters = bw if boost > 1 else self._field_iters(field_name, bw)
         q_total = queries.shape[0]
         out_w = k_eff if tf32 is not None else k_cand
         ids_all = np.empty((q_total, out_w), dtype=np.int64)
         d_all = np.empty((q_total, out_w), dtype=np.float64)
         super_chunk = batch * g_max
+
+        def _drain(h):
+            s, real, dev = h
+            d_h, ids_h = jax.device_get(dev)
+            d_h = d_h.reshape(-1, d_h.shape[-1])[:real]
+            ids_h = ids_h.reshape(-1, ids_h.shape[-1])[:real]
+            ids_np = ids_h.astype(np.int64)
+            ids_np[~np.isfinite(d_h)] = -1
+            ids_all[s:s + real] = ids_np
+            d_all[s:s + real] = d_h
+
+        # Dispatch-ahead over super-chunks: the query upload of chunk i+1
+        # and the fetch of chunk i-1 overlap the kernel of chunk i. The
+        # h2d upload sits on the dispatch critical path (measured ~80 ms
+        # for a fresh 4 MB batch through the relay vs a 28 ms bare rtt),
+        # so without this the upload serializes with every kernel. Two in
+        # flight bounds device-side query/result buffers.
+        inflight = []
         for s in range(0, q_total, super_chunk):
             qc = queries[s:s + super_chunk]
             g = -(-qc.shape[0] // batch)
@@ -640,16 +700,14 @@ class Table:
             qg = jnp.asarray(qp.reshape(g, batch, store.dim_padded))
             d_dev, ids_dev = beam_ops.beam_search_grouped(
                 qg, graph.table, graph.norms, adj, graph.rep_ids, dm, tf32,
-                int(metric), int(bw), int(self.config.beam_expand), int(bw),
-                32, term, int(k_cand), int(k_eff),
+                int(metric), int(bw), int(self.config.beam_expand),
+                int(max_iters), 32, term, int(k_cand), int(k_eff),
                 int(self.config.beam_compact))
-            d_h, ids_h = jax.device_get((d_dev, ids_dev))
-            d_h = d_h.reshape(g * batch, -1)[: qc.shape[0]]
-            ids_h = ids_h.reshape(g * batch, -1)[: qc.shape[0]]
-            ids_np = ids_h.astype(np.int64)
-            ids_np[~np.isfinite(d_h)] = -1
-            ids_all[s:s + qc.shape[0]] = ids_np
-            d_all[s:s + qc.shape[0]] = d_h
+            inflight.append((s, qc.shape[0], (d_dev, ids_dev)))
+            if len(inflight) > 2:
+                _drain(inflight.pop(0))
+        for h in inflight:
+            _drain(h)
         if tf32 is None:
             # No f32 view on device (HBM guardrail / config off): exact
             # re-rank of the approx candidates on the host mirror.
@@ -704,7 +762,8 @@ class Table:
                               k: int, mask_cacheable: bool = False,
                               filter_ctx: Optional["_FilterCtx"] = None,
                               ef: Optional[int] = None, boost: int = 1,
-                              pre_filter: bool = False):
+                              pre_filter: bool = False,
+                              iters: Optional[int] = None):
         """Stage 1: pad the batch and launch the device kernel(s); device
         work proceeds asynchronously. Returns an opaque handle for
         collect_dense_search()."""
@@ -809,10 +868,12 @@ class Table:
             term = min(max(self.config.beam_term_width, k_eff) * boost, bw)
             if boost > 1:
                 term = min(max(term, bw // 4), bw)
+            max_iters = (bw if boost > 1
+                         else self._field_iters(field_name, bw, iters))
             d_dev, ids_dev = beam_ops.beam_search_topk(
                 jnp.asarray(qp), graph.table, graph.norms, adj,
                 graph.rep_ids, dm, int(metric), int(bw),
-                int(self.config.beam_expand), int(bw), 32,
+                int(self.config.beam_expand), int(max_iters), 32,
                 int(term), int(k_out),
                 int(self.config.beam_compact))
             h["mode"] = "graph"
