@@ -466,6 +466,75 @@ class GraphIndex:
         self._table_f32 = buf
         return buf
 
+    def fused_traversal(self, r_used: int, max_bytes: int):
+        """Fused traversal table: `(fused [N_pad, r*Dp] int8 device array,
+        dequant scale)` where row i inlines the int8-quantized vectors of
+        node i's first `r` traversal neighbors (CAGRA-Q-style layout).
+
+        Why: XLA row gathers are row-COUNT bound on this hardware
+        (~70-180M rows/s regardless of row bytes, benchmarks/
+        gather_micro.py), so the beam kernel's per-iteration cost is the
+        [B*compact]-row candidate vector gather. Fetching the vectors
+        inline with the adjacency cuts that to [B*expand] rows — measured
+        6x+ per-iteration speedup at 500k x 128
+        (benchmarks/fused_gather_micro.py). The int8 rounding (~0.2%
+        median relative distance error, global max-abs scale) only
+        perturbs navigation; final ordering is repaired by the exact
+        re-rank. No reference analogue — the reference traverses a
+        pointer-chasing CSR with scalar distance calls
+        (vec_search_executor.cpp:384-444).
+
+        Memory: N * r * Dp bytes of HBM (3 GB at 500k x 128 x 48) — gated
+        by `max_bytes` AND a live free-HBM check (near-capacity pressure
+        wedges this backend instead of erroring). Returns (None, None)
+        when gated off; the caller falls back to the split gather path.
+        The decision and the table are cached per r (graph rows are
+        frozen at build time)."""
+        r_total = self.adjacency_host.shape[1]
+        r = r_used if 0 < r_used < r_total else r_total
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if r in cache:
+            return cache[r]
+        store = self.segment.device_view(self.field_name)
+        n, dp, dim = self.num_rows, store.dim_padded, store.dim
+        npad = -(-n // 1024) * 1024
+        row_w = r * dp
+        need = npad * row_w
+        deny = (None, None)
+        if need > max_bytes:
+            cache[r] = deny
+            return deny
+        from ..utils import device_hbm_stats
+        stats = device_hbm_stats()
+        if stats is not None and need > 0.55 * (stats[1] - stats[0]):
+            cache[r] = deny
+            return deny
+
+        host = self.segment.dense_host[self.field_name][:n]
+        scale = float(np.abs(host).max()) / 127.0
+        if not np.isfinite(scale) or scale <= 0.0:
+            scale = 1.0
+        x_q = np.clip(np.round(host / scale), -127, 127).astype(np.int8)
+        adj = np.clip(self.adjacency_host[:, :r], 0, n - 1)
+
+        # Sliced donated upload (single multi-GB h2d transfers stall
+        # through tunneled relays — same protocol as table_f32).
+        rows_per = max(1024, (128 << 20) // max(row_w, 1) // 1024 * 1024)
+        buf = jnp.zeros((npad, row_w), jnp.int8)
+        upd = jax.jit(
+            lambda b_, r_, s_: jax.lax.dynamic_update_slice(b_, r_, (s_, 0)),
+            donate_argnums=0)
+        for s in range(0, n, rows_per):
+            e = min(s + rows_per, n)
+            block = np.zeros((e - s, r, dp), np.int8)
+            block[:, :, :dim] = x_q[adj[s:e]]
+            buf = upd(buf, jnp.asarray(block.reshape(e - s, row_w)), s)
+        out = (buf, np.float32(scale))
+        cache[r] = out
+        return out
+
     # Build ------------------------------------------------------------
 
     @classmethod

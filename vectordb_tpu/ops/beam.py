@@ -50,6 +50,24 @@ def _cand_scores(q, vecs, q_norms, metric: int):
     return -ip
 
 
+def _cand_scores_q(q, vecs_q, q_norms, scale, metric: int):
+    """Int8-grid variant of _cand_scores for the FUSED traversal layout:
+    `vecs_q` holds int8-valued rows cast to the MXU dtype (integers up to
+    127 are exact in bf16) and `scale` is the dequant step. The einsums
+    accumulate on the quantized grid in f32 and distances are rescaled
+    AFTER accumulation, so no per-element dequant multiply over [B, C, D]
+    is paid and the rescale itself is exact f32 arithmetic."""
+    ip = jnp.einsum("bcd,bd->bc", vecs_q, q,
+                    preferred_element_type=jnp.float32)
+    if metric == int(MetricType.EUCLIDEAN):
+        vn = jnp.einsum("bcd,bcd->bc", vecs_q, vecs_q,
+                        preferred_element_type=jnp.float32)
+        return q_norms[:, None] - (2.0 * scale) * ip + (scale * scale) * vn
+    if metric == int(MetricType.COSINE):
+        return 1.0 - scale * ip
+    return -(scale * ip)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "beam_width", "expand", "max_iters",
@@ -57,7 +75,8 @@ def _cand_scores(q, vecs, q_norms, metric: int):
 def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
                        metric: int, beam_width: int, expand: int,
                        max_iters: int, num_seeds: int = 32,
-                       term_width: int = 0, compact: int = 0):
+                       term_width: int = 0, compact: int = 0,
+                       fused=None, scale=None):
     """One jitted program: seed-scan -> while(!converged) expand -> beam.
 
     queries:   [B, D]  f32 (already padded to the table's lane width)
@@ -66,6 +85,18 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
     adjacency: [N_pad, R] int32, padded entries < 0
     rep_ids:   [S] int32 representative rows (navigation point + a sampled
                coarse cover of the table)
+    fused:     optional [N, R*D] int8 — node i's row inlines the int8-
+               quantized vectors of its R traversal neighbors (CAGRA-Q
+               style). XLA row gathers are row-COUNT bound on this hardware
+               (~70-180M rows/s regardless of row bytes, measured in
+               benchmarks/gather_micro.py), so fetching neighbor vectors
+               inline with the adjacency turns each iteration's
+               [B*compact]-row vector gather into a [B*expand]-row fused
+               gather — a ~`compact/expand`-fold descriptor cut. `scale` is
+               the dequant step; the ~0.4% int8 rounding only perturbs
+               NAVIGATION (final ordering is repaired by the exact
+               re-rank). `compact` is ignored on this path: there is no
+               second gather to shrink.
 
     Seeding: instead of a single navigation point (reference
     PrepareInitIds, vec_search_executor.cpp:487-516), every query scores
@@ -161,6 +192,25 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         seen = jnp.any(cand[:, :, None] == visited[:, None, :], axis=2)
         bad = (cand < 0) | in_beam | dup | seen
 
+        if fused is not None:
+            # FUSED path: the neighbor vectors arrive WITH the adjacency
+            # (one [B*M] row gather over the int8 fused table) — duplicates
+            # cost only MXU flops, not gather descriptors, so they are
+            # masked after scoring instead of compacted before a second
+            # gather.
+            rows = jnp.take(fused, safe_ids.reshape(-1), axis=0)
+            vecs_q = rows.reshape(b, C, d).astype(table.dtype)
+            cand_d = _cand_scores_q(q, vecs_q, q_norms, scale, metric)
+            cand_d = jnp.where(bad, jnp.inf, cand_d)
+            cand_ids = jnp.where(bad, -1, cand)
+            all_d = jnp.concatenate([beam_d, cand_d], axis=1)
+            all_ids = jnp.concatenate([beam_ids, cand_ids], axis=1)
+            all_exp = jnp.concatenate(
+                [beam_exp, jnp.zeros((b, C), dtype=jnp.bool_)], axis=1)
+            sd, sids, sexp = jax.lax.sort((all_d, all_ids, all_exp),
+                                          dimension=1, num_keys=1)
+            return (sids[:, :L], sexp[:, :L], sd[:, :L], visited, it + 1)
+
         cand = jnp.where(bad, -1, cand)
         if 0 < cp < C:
             # Compaction: traversal cost is the row gather, so move the
@@ -195,7 +245,7 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         return (sids[:, :L], sexp[:, :L], sd[:, :L], visited, it + 1)
 
     state = (beam_ids, beam_exp, beam_d, visited, jnp.int32(0))
-    if 0 < Cp < C and max_iters > 0:
+    if fused is None and 0 < Cp < C and max_iters > 0:
         # Peel iteration 0 without compaction (see comment in body). The
         # max_iters>0 guard matters: with max_iters=0 visited is [b, 0]
         # and the peel's dynamic_update_slice of an [b, M] block would
@@ -214,7 +264,7 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
 def beam_search_topk(queries, table, norms, adjacency, rep_ids, valid,
                      metric: int, beam_width: int, expand: int,
                      max_iters: int, num_seeds: int, term_width: int,
-                     k_out: int, compact: int = 0):
+                     k_out: int, compact: int = 0, fused=None, scale=None):
     """Query-path variant: full beam search + ON-DEVICE mask-aware result
     selection. `valid` is an [N_pad] bool device mask (aliveness, and —
     when the filter compiled to a device mask — the pushed-down filter).
@@ -231,7 +281,7 @@ def beam_search_topk(queries, table, norms, adjacency, rep_ids, valid,
     fetch to [B, k_out]."""
     beam_d, beam_ids, _ = beam_search_kernel(
         queries, table, norms, adjacency, rep_ids, metric, beam_width,
-        expand, max_iters, num_seeds, term_width, compact)
+        expand, max_iters, num_seeds, term_width, compact, fused, scale)
     safe = jnp.clip(beam_ids, 0, valid.shape[0] - 1)
     ok = (beam_ids >= 0) & jnp.take(valid, safe)
     d = jnp.where(ok, beam_d, jnp.inf)
@@ -273,7 +323,8 @@ def _exact_rerank_device(q_f32, table_f32, d_approx, ids, metric: int,
 def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
                         table_f32, metric: int, beam_width: int, expand: int,
                         max_iters: int, num_seeds: int, term_width: int,
-                        k_cand: int, k_out: int, compact: int = 0):
+                        k_cand: int, k_out: int, compact: int = 0,
+                        fused=None, scale=None):
     """THROUGHPUT mode: lax.scan over G query batches inside ONE device
     program. Through a tunneled relay every dispatch pays a large fixed
     cost (~45 ms rtt + fetch, measured r2b) that bounded batch-2048 QPS at
@@ -295,7 +346,7 @@ def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
         d, ids = beam_search_topk(q, table, norms, adjacency, rep_ids,
                                   valid, metric, beam_width, expand,
                                   max_iters, num_seeds, term_width,
-                                  k_cand, compact)
+                                  k_cand, compact, fused, scale)
         if table_f32 is not None:
             d, ids = _exact_rerank_device(q, table_f32, d, ids, metric,
                                           k_out)

@@ -420,6 +420,18 @@ class Table:
             b *= 2
         return b
 
+    def _fused_view(self, graph) -> Tuple[Any, Any]:
+        """(fused int8 table, dequant scale) for the fused traversal path,
+        or (None, None) when config/HBM gates it off (the split gather
+        path is the fallback). See index/graph.GraphIndex.fused_traversal."""
+        mode = getattr(self.config, "fused_traversal", "auto")
+        if mode == "off":
+            return None, None
+        budget = (self.config.fused_max_bytes if mode == "auto"
+                  else (1 << 60))
+        return graph.fused_traversal(self.config.beam_traversal_degree,
+                                     budget)
+
     def _field_ef(self, field_name: str, ef: Optional[int] = None) -> int:
         """Beam width for a field: explicit arg > tuned override > global
         SearchEf config."""
@@ -658,6 +670,7 @@ class Table:
             boost = self._sel_boost(n_alive, n_match)
         bw = max(self._field_ef(field_name, ef) * boost, k_cand)
         adj = graph.adjacency_traversal(self.config.beam_traversal_degree)
+        fused, fscale = self._fused_view(graph)
         tf32 = None
         if self.config.device_rerank != "off":
             budget = (self.config.device_rerank_max_bytes
@@ -702,7 +715,8 @@ class Table:
                 qg, graph.table, graph.norms, adj, graph.rep_ids, dm, tf32,
                 int(metric), int(bw), int(self.config.beam_expand),
                 int(max_iters), 32, term, int(k_cand), int(k_eff),
-                int(self.config.beam_compact))
+                0 if fused is not None else int(self.config.beam_compact),
+                fused=fused, scale=fscale)
             inflight.append((s, qc.shape[0], (d_dev, ids_dev)))
             if len(inflight) > 2:
                 _drain(inflight.pop(0))
@@ -870,12 +884,14 @@ class Table:
                 term = min(max(term, bw // 4), bw)
             max_iters = (bw if boost > 1
                          else self._field_iters(field_name, bw, iters))
+            fused, fscale = self._fused_view(graph)
             d_dev, ids_dev = beam_ops.beam_search_topk(
                 jnp.asarray(qp), graph.table, graph.norms, adj,
                 graph.rep_ids, dm, int(metric), int(bw),
                 int(self.config.beam_expand), int(max_iters), 32,
                 int(term), int(k_out),
-                int(self.config.beam_compact))
+                0 if fused is not None else int(self.config.beam_compact),
+                fused=fused, scale=fscale)
             h["mode"] = "graph"
             h["dev"] = (d_dev, ids_dev)
             h["graph_rows"] = graph.num_rows
