@@ -81,6 +81,25 @@ def main():
         log(f"data gen {n}x{dim}: {time.time() - t0:.1f}s")
     seg, _ = make_bench_segment(n, dim, x)
 
+    if os.environ.get("SCALE_GT_ONLY", ""):
+        # Phase-isolated ground truth (16M+ HBM policy): compute the exact
+        # device oracle with NOTHING else resident (the oracle f32 table is
+        # 8.2 GB at 16M x 96; co-residing it with the engine's table +
+        # adjacency is what wedged the round-2 stretch run), save to
+        # SCALE_GT, exit. The main run then loads the cache and never
+        # uploads the oracle.
+        gt_cache = os.environ.get("SCALE_GT", "")
+        assert gt_cache, "SCALE_GT_ONLY requires SCALE_GT=<cache path>"
+        t0 = time.time()
+        gt = device_ground_truth(x, seg.dense_norms["V"][:n], queries, k)
+        log(f"ground truth: {time.time() - t0:.1f}s (device f32, gt-only)")
+        with open(gt_cache, "wb") as f:
+            np.savez(f, gt=gt, n=n, dim=dim)
+        print(json.dumps({"metric": f"gt_only_{n // 1000}k_{dim}d",
+                          "seconds": round(time.time() - t0, 1),
+                          "path": gt_cache}))
+        return
+
     cache = os.environ.get("SCALE_GRAPH", "")
     if cache and os.path.exists(cache):
         graph = GraphIndex.load(cache, seg, "V")

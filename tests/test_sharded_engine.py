@@ -311,3 +311,89 @@ def test_sharded_device_filter_selective_topup(tmp_path):
     ids = [r["ID"] for r in res]
     oracle = [i for i in _oracle(x, q, n).tolist() if i < 6]
     assert ids == oracle
+
+
+def test_sharded_fused_traversal(tmp_path):
+    """Fused int8 traversal on the sharded plane: same final results as
+    the split path (exact re-rank repairs int8 navigation rounding), fused
+    table actually active and per-shard shaped, and auto-gating falls back
+    cleanly when the budget denies it."""
+    old = (global_config.fused_traversal, global_config.fused_max_bytes)
+    global_config.fused_traversal = "on"
+    try:
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(4000, 32)).astype(np.float32)
+        _mk_table(tmp_path)
+        _insert("t", x)
+        assert vdb.rebuild() == 0
+        table = vdb._db.databases["sdb"].tables["t"]
+        sf = table.sharded_fields["V"]
+        assert sf.graph is not None
+
+        queries = x[rng.integers(0, 4000, 64)] + 0.01 * rng.normal(
+            size=(64, 32)).astype(np.float32)
+
+        def run_all():
+            hits = 0
+            for q in queries:
+                code, res = vdb.query("t", "V", q.tolist(), ["ID"], 10,
+                                      "", True)
+                got = {r["ID"] for r in res}
+                hits += len(got & set(_oracle(x, q, 10).tolist()))
+            return hits / (64 * 10)
+
+        r_fused = run_all()
+        # The fused table must actually be active and per-shard shaped.
+        fused, scale = sf.graph._fused_cache
+        assert fused is not None and float(scale) > 0
+        s, cap_s, r_total = sf.graph.adjacency_host.shape
+        assert fused.shape == (s, cap_s, r_total * sf.store.dim_padded)
+        assert fused.dtype == np.int8
+
+        global_config.fused_traversal = "off"
+        r_split = run_all()
+        assert r_fused >= r_split - 0.02, (r_fused, r_split)
+
+        # auto + zero budget: gated off, still answers correctly.
+        global_config.fused_traversal = "auto"
+        global_config.fused_max_bytes = 0
+        sf.graph._fused_cache = None
+        code, res = vdb.query("t", "V", x[7].tolist(), ["ID"], 10, "", True)
+        assert sf.graph._fused_cache == (None, None)
+        assert res[0]["ID"] == 7
+    finally:
+        (global_config.fused_traversal,
+         global_config.fused_max_bytes) = old
+
+
+def test_sharded_fused_with_tail_and_filter(tmp_path):
+    """Fused traversal + post-build tail rows + device filter compose."""
+    old = global_config.fused_traversal
+    global_config.fused_traversal = "on"
+    try:
+        rng = np.random.default_rng(12)
+        x = rng.normal(size=(3000, 32)).astype(np.float32)
+        vdb.load_db("sdb2", str(tmp_path / "sdb2"))
+        vdb.use_db("sdb2")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Tag", "dataType": "INT", "primaryKey": False},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 32,
+             "metricType": "EUCLIDEAN"}])
+        vdb.insert_columns("t", {"ID": np.arange(3000),
+                                 "Tag": np.arange(3000) % 4, "V": x}, 3000)
+        assert vdb.rebuild() == 0
+        # Tail rows after the build stay reachable alongside fused rows.
+        x2 = rng.normal(size=(200, 32)).astype(np.float32) + 5.0
+        vdb.insert_columns("t", {"ID": np.arange(3000, 3200),
+                                 "Tag": np.zeros(200, np.int64),
+                                 "V": x2}, 200)
+        code, res = vdb.query("t", "V", x2[9].tolist(), ["ID"], 5, "", True)
+        assert res[0]["ID"] == 3009
+        # Device filter on the fused path.
+        q = x[70]
+        code, res = vdb.query("t", "V", q.tolist(), ["ID"], 10, "Tag < 2")
+        ids = [r["ID"] for r in res]
+        assert len(ids) == 10 and all(i % 4 < 2 or i >= 3000 for i in ids)
+    finally:
+        global_config.fused_traversal = old

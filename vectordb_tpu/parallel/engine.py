@@ -420,26 +420,38 @@ def sharded_graph_query(queries, buf, norms, adjacency, reps, mask, *,
                         mesh, metric: int, beam_width: int, expand: int,
                         max_iters: int, num_seeds: int, term_width: int,
                         k: int, tail_start: int, has_tail: bool,
-                        compact: int = 0):
+                        compact: int = 0, fused=None, scale=None):
     """Per-shard beam search + optional flat tail over post-build slots,
-    merged globally. Returns ([B, k] dists, [B, k] GLOBAL ids)."""
+    merged globally. Returns ([B, k] dists, [B, k] GLOBAL ids).
+
+    fused/scale: optional per-shard fused int8 traversal table
+    ([S, cap_s, R*Dp] sharded) + dequant step — the single-chip fused
+    gather layout (ops/beam.beam_search_kernel), here per shard. Compact
+    is ignored on that path (there is no second gather to shrink)."""
     from ..ops.beam import beam_search_kernel
 
     n_shards = mesh.devices.size
+    in_specs = [P(), P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                P(SHARD_AXIS, None)]
+    args = [queries, buf, norms, adjacency, reps, mask]
+    if fused is not None:
+        in_specs.append(P(SHARD_AXIS, None, None))
+        args.append(fused)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
-                  P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
-                  P(SHARD_AXIS, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()), check_vma=False)
-    def run(q, tab, nrm, adj, rp, msk):
+    def run(q, tab, nrm, adj, rp, msk, *rest):
         shard_idx = jax.lax.axis_index(SHARD_AXIS)
         tab, nrm, adj, rp, msk = tab[0], nrm[0], adj[0], rp[0], msk[0]
+        fz = rest[0][0] if rest else None
         c_rows = tab.shape[0]
         d, ids, _ = beam_search_kernel(
             q, tab, nrm, adj, rp, metric, beam_width, expand, max_iters,
-            num_seeds, term_width, compact)
+            num_seeds, term_width, 0 if fz is not None else compact,
+            fz, scale)
         safe = jnp.clip(ids, 0, c_rows - 1)
         ok = (ids >= 0) & jnp.take(msk, safe)
         d = jnp.where(ok, d, jnp.inf)
@@ -465,7 +477,7 @@ def sharded_graph_query(queries, buf, norms, adjacency, reps, mask, *,
         out_i = jnp.take_along_axis(all_i, sel, axis=1)
         return -neg_m, jnp.where(jnp.isfinite(-neg_m), out_i, -1)
 
-    return run(queries, buf, norms, adjacency, reps, mask)
+    return run(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -609,6 +621,58 @@ class ShardedGraphIndex:
             del tab_i
         return out
 
+    def fused_traversal(self, store: "ShardedVectorStore", host: np.ndarray,
+                        max_bytes: int):
+        """Per-shard fused int8 traversal table: `([S, cap_s, R*Dp] int8
+        sharded device array, dequant scale)` — the single-chip
+        GraphIndex.fused_traversal layout (node row inlines its traversal
+        neighbors' int8 vectors; see index/graph.py for the measured
+        rationale), built per shard over LOCAL slot ids. Unlike the
+        single-chip path it fuses the FULL adjacency width R: the sharded
+        kernel traverses its whole adjacency, and the fused row width must
+        match the adjacency gather's R.
+
+        Gated by TOTAL bytes <= max_bytes (the same FusedMaxBytes knob as
+        single-chip — a multi-chip deployment with S chips of HBM should
+        raise it proportionally) — returns (None, None) when gated off.
+        Cached on the index (graph rows are frozen at build; the store is
+        append-only past num_rows, which the fused table never covers)."""
+        cached = getattr(self, "_fused_cache", None)
+        if cached is not None:
+            return cached
+        s, cap_s, r_total = self.adjacency_host.shape
+        dp, dim = store.dim_padded, store.dim
+        deny = (None, None)
+        need = s * cap_s * r_total * dp
+        if need > max_bytes:
+            self._fused_cache = deny
+            return deny
+        from ..utils import device_hbm_stats
+        stats = device_hbm_stats()
+        if stats is not None and need // s > 0.55 * (stats[1] - stats[0]):
+            self._fused_cache = deny
+            return deny
+        n = self.num_rows
+        scale = float(np.abs(host[:n]).max()) / 127.0
+        if not np.isfinite(scale) or scale <= 0.0:
+            scale = 1.0
+        fused_h = np.zeros((s, cap_s, r_total * dp), np.int8)
+        for i in range(s):
+            ln = -(-(n - i) // s)
+            if ln <= 0:
+                continue
+            g = np.arange(ln) * s + i  # local slot -> global row
+            x_q = np.clip(np.round(host[g, :dim] / scale),
+                          -127, 127).astype(np.int8)
+            adj = np.clip(self.adjacency_host[i, :ln], 0, ln - 1)
+            blk = np.zeros((ln, r_total, dp), np.int8)
+            blk[:, :, :dim] = x_q[adj]
+            fused_h[i, :ln] = blk.reshape(ln, r_total * dp)
+        fused = jax.device_put(
+            fused_h, NamedSharding(self.mesh, P(SHARD_AXIS, None, None)))
+        self._fused_cache = (fused, np.float32(scale))
+        return self._fused_cache
+
     def save(self, path: str) -> None:
         import io
         import json as _json
@@ -734,7 +798,7 @@ class ShardedDenseField:
                metric: MetricType, k: int, use_graph: bool,
                beam_width: int, expand: int, term_width: int,
                mask_version: Optional[int] = None, compact: int = 0,
-               shard_filter=None):
+               shard_filter=None, fused=None):
         """[B, Dp] padded queries -> DEVICE (d, ids) handles, globally
         re-ranked top-k (async; fetch with jax.device_get).
 
@@ -756,7 +820,9 @@ class ShardedDenseField:
                 max_iters=int(beam_width), num_seeds=32,
                 term_width=int(term_width), k=int(k),
                 tail_start=int(g.num_rows // st.n_shards),
-                has_tail=bool(tail), compact=int(compact))
+                has_tail=bool(tail), compact=int(compact),
+                fused=None if fused is None else fused[0],
+                scale=None if fused is None else fused[1])
         return sharded_flat_query(
             q, st.buf, st.norms, mask_dev, mesh=self.mesh,
             metric=int(metric), k=int(k))
@@ -773,9 +839,10 @@ class ShardedDenseField:
                metric: MetricType, k: int, use_graph: bool,
                beam_width: int, expand: int, term_width: int,
                mask_version: Optional[int] = None,
-               compact: int = 0, shard_filter=None) -> np.ndarray:
+               compact: int = 0, shard_filter=None,
+               fused=None) -> np.ndarray:
         """[B, Dp] padded queries -> [B, k] global candidate ids (-1 pad)."""
         return self.fetch(self.launch(
             queries_padded, valid, metric, k, use_graph, beam_width,
             expand, term_width, mask_version, compact,
-            shard_filter=shard_filter))
+            shard_filter=shard_filter, fused=fused))

@@ -1020,10 +1020,20 @@ class Table:
         if compact and sf.graph is not None:
             r_shard = sf.graph.adjacency_host.shape[2]
             compact = compact * r_shard // max(r_single, 1)
+        fused = None
+        if use_graph and sf.graph is not None:
+            mode = getattr(self.config, "fused_traversal", "auto")
+            if mode != "off":
+                budget = (self.config.fused_max_bytes if mode == "auto"
+                          else (1 << 60))
+                fused = sf.graph.fused_traversal(
+                    sf.store, seg.dense_host[field_name], budget)
+                if fused[0] is None:
+                    fused = None
         dev = sf.launch(qp, valid, metric, k_cand, use_graph=use_graph,
                         beam_width=beam, expand=self.config.beam_expand,
                         term_width=term, mask_version=ver, compact=compact,
-                        shard_filter=shard_filter)
+                        shard_filter=shard_filter, fused=fused)
         ctx = {"qp": qp, "valid": valid, "ver": ver, "use_graph": use_graph,
                "k_cand": k_cand, "beam": beam, "term": term,
                "shard_filter": shard_filter}
