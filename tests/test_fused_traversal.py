@@ -153,6 +153,44 @@ def test_fused_gated_off_by_budget(tmp_path):
     assert hits / 320 >= 0.99
 
 
+def test_fused_hbm_budget_from_config(tmp_path, monkeypatch):
+    """When the backend reports no memory stats (the tunneled axon TPU
+    returns None), the gates budget against DeviceHbmBytes minus the
+    engine's resident device buffers instead of flying blind: a configured
+    total with no headroom denies the fused table and the f32 re-rank
+    copy; a generous one admits them."""
+    import vectordb_tpu.utils as utils_mod
+
+    x, table = _mk(tmp_path, n=2500, seed=9)
+    graph = table.graphs["V"]
+    monkeypatch.setattr(utils_mod, "device_hbm_stats",
+                        lambda *a, **k: None)
+    global_config.fused_traversal = "auto"
+    global_config.fused_max_bytes = 12 << 30
+    old_hbm = global_config.device_hbm_bytes
+    try:
+        graph._fused_cache = {}
+        graph._table_f32 = None
+        resident = graph._resident_device_bytes(include_f32_reserve=False)
+        global_config.device_hbm_bytes = resident + 1024  # no headroom
+        fused, scale = table._fused_view(graph)
+        assert fused is None and scale is None
+        assert graph.table_f32(1 << 40) is None
+
+        global_config.device_hbm_bytes = 64 << 30  # plenty
+        graph._fused_cache = {}
+        fused, scale = table._fused_view(graph)
+        assert fused is not None and float(scale) > 0
+        assert graph.table_f32(1 << 40) is not None
+
+        global_config.device_hbm_bytes = 0  # unknown -> static caps only
+        graph._fused_cache = {}
+        fused, _ = table._fused_view(graph)
+        assert fused is not None
+    finally:
+        global_config.device_hbm_bytes = old_hbm
+
+
 def test_fused_with_filter_and_delete(tmp_path):
     """Filtered + deleted rows through the fused path: device mask excludes
     them from results while they stay traversable."""

@@ -101,11 +101,17 @@ class Config:
         # of [B*compact] vector rows (row gathers are row-count-bound;
         # measured 6x+ per-iteration speedup at 500k x 128). Costs
         # N * degree * dim_padded bytes of HBM; auto = on while the table
-        # fits fused_max_bytes AND 55% of free HBM (index/graph.py
-        # fused_traversal); exact final ordering is preserved by the f32
-        # re-rank.
+        # fits fused_max_bytes AND the free-HBM estimate (index/graph.py
+        # fused_traversal/_free_hbm_bytes); exact final ordering is
+        # preserved by the f32 re-rank.
         self.fused_traversal = "auto"
-        self.fused_max_bytes = 6 << 30
+        self.fused_max_bytes = 12 << 30
+        # Physical device HBM (bytes) for backends that report no
+        # memory_stats (the tunneled axon TPU backend returns None): HBM
+        # gates then budget against this total minus the engine's known
+        # resident buffers instead of flying blind. Default = TPU v5e
+        # (16 GB). 0 = unknown -> only static byte caps apply.
+        self.device_hbm_bytes = 16 << 30
         # Pool-SEARCH stage on/off: "auto" | "on" | "off". Measured
         # (500k x 128 and 500k x 960, 4096 queries vs exact oracle): with
         # query-time representative-cover seeding the KNN-only prune graph
@@ -175,6 +181,8 @@ class Config:
                            lambda v: v in ("auto", "on", "off"), False),
         "FusedMaxBytes": ("fused_max_bytes", int,
                           lambda v: 0 <= v <= (1 << 40), False),
+        "DeviceHbmBytes": ("device_hbm_bytes", int,
+                           lambda v: 0 <= v <= (1 << 44), False),
     }
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
@@ -238,6 +246,7 @@ class Config:
             "QueryGroupSize": self.query_group_size,
             "FusedTraversal": self.fused_traversal,
             "FusedMaxBytes": self.fused_max_bytes,
+            "DeviceHbmBytes": self.device_hbm_bytes,
         }
 
 

@@ -426,6 +426,48 @@ class GraphIndex:
     def norms(self):
         return self.segment.device_view(self.field_name).norms
 
+    def _resident_device_bytes(self, include_f32_reserve: bool) -> int:
+        """Engine-resident device bytes attributable to this graph's field:
+        the bf16 store buffer + norms, the adjacency (uploaded lazily but
+        inevitably), any truncated-adjacency views, the fused traversal
+        tables, and the f32 re-rank copy. `include_f32_reserve` additionally
+        reserves the NOT-yet-materialized f32 copy's size (grouped query
+        mode materializes it after the fused table, so the fused gate must
+        leave room for it)."""
+        store = self.segment.device_view(self.field_name)
+        total = store.buf.nbytes + store.norms.nbytes
+        total += (self._adjacency_dev.nbytes
+                  if self._adjacency_dev is not None
+                  else self.adjacency_host.nbytes)
+        for arr in getattr(self, "_adj_trav_cache", {}).values():
+            total += arr.nbytes
+        for entry in getattr(self, "_fused_cache", {}).values():
+            if entry[0] is not None:
+                total += entry[0].nbytes
+        n, dp = self.num_rows, store.dim_padded
+        npad = -(-n // 1024) * 1024
+        if self._table_f32 is not None:
+            total += self._table_f32.nbytes
+        elif include_f32_reserve:
+            total += npad * dp * 4
+        return total
+
+    def _free_hbm_bytes(self, include_f32_reserve: bool = False):
+        """Best-effort free HBM: live backend stats when available, else
+        `DeviceHbmBytes` (config; 0 = unknown) minus this field's resident
+        device buffers. The axon backend reports no memory_stats, so the
+        configured-total path is what actually guards tunneled TPUs.
+        Returns (free_bytes, live: bool); free is None when unknowable."""
+        from ..utils import device_hbm_stats
+        stats = device_hbm_stats()
+        if stats is not None:
+            return stats[1] - stats[0], True
+        from ..config import global_config
+        total = int(getattr(global_config, "device_hbm_bytes", 0))
+        if total <= 0:
+            return None, False
+        return total - self._resident_device_bytes(include_f32_reserve), False
+
     def table_f32(self, max_bytes: int):
         """Immutable f32 device copy of the graph's rows for ON-DEVICE
         exact re-rank (ops/beam._exact_rerank_device). The store buffer is
@@ -443,12 +485,15 @@ class GraphIndex:
         need = npad * dp * 4
         if need > max_bytes:
             return None
-        # Live HBM check on top of the static budget: near-capacity
-        # pressure wedges this backend instead of erroring, and the f32
-        # view is optional (host re-rank is the fallback).
-        from ..utils import device_hbm_stats
-        stats = device_hbm_stats()
-        if stats is not None and need > 0.6 * (stats[1] - stats[0]):
+        # HBM check on top of the static budget: near-capacity pressure
+        # wedges this backend instead of erroring, and the f32 view is
+        # optional (host re-rank is the fallback). Live stats use a 0.6
+        # headroom (unknown co-residents); the configured-total estimate
+        # enumerates residents explicitly, so 0.65 is still conservative.
+        free, live = self._free_hbm_bytes()
+        if free is not None and need > (0.6 if live else 0.65) * free:
+            logger.info(f"table_f32 gated off: need {need / 1e9:.2f} GB, "
+                        f"free~{free / 1e9:.2f} GB ({'live' if live else 'cfg'})")
             return None
         import jax
 
@@ -506,9 +551,13 @@ class GraphIndex:
         if need > max_bytes:
             cache[r] = deny
             return deny
-        from ..utils import device_hbm_stats
-        stats = device_hbm_stats()
-        if stats is not None and need > 0.55 * (stats[1] - stats[0]):
+        # Reserve room for the f32 re-rank copy (materialized AFTER the
+        # fused table in grouped mode) so fusing can't starve it.
+        free, live = self._free_hbm_bytes(include_f32_reserve=True)
+        if free is not None and need > (0.55 if live else 0.65) * free:
+            logger.info(f"fused traversal gated off: need {need / 1e9:.2f} "
+                        f"GB, free~{free / 1e9:.2f} GB "
+                        f"({'live' if live else 'cfg'})")
             cache[r] = deny
             return deny
 
