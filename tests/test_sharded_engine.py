@@ -366,6 +366,49 @@ def test_sharded_fused_traversal(tmp_path):
          global_config.fused_max_bytes) = old
 
 
+def test_sharded_fused_hbm_budget_from_config(tmp_path, monkeypatch):
+    """Configured-total HBM fallback on the sharded plane (the axon
+    backend reports no memory_stats): per-device budget = DeviceHbmBytes
+    minus the per-device resident shards. No headroom -> deny; plenty ->
+    admit."""
+    import vectordb_tpu.utils as utils_mod
+
+    old = (global_config.fused_traversal, global_config.fused_max_bytes,
+           global_config.device_hbm_bytes)
+    global_config.fused_traversal = "auto"
+    global_config.fused_max_bytes = 12 << 30
+    monkeypatch.setattr(utils_mod, "device_hbm_stats",
+                        lambda *a, **k: None)
+    try:
+        rng = np.random.default_rng(13)
+        x = rng.normal(size=(3000, 32)).astype(np.float32)
+        _mk_table(tmp_path)
+        _insert("t", x)
+        assert vdb.rebuild() == 0
+        table = vdb._db.databases["sdb"].tables["t"]
+        sf = table.sharded_fields["V"]
+        s = sf.graph.adjacency_host.shape[0]
+        resident_dev = (sf.store.buf.nbytes + sf.store.norms.nbytes
+                        + sf.graph.adjacency_host.nbytes
+                        + sf.graph.rep_ids_host.nbytes) // s
+        global_config.device_hbm_bytes = resident_dev + 1024  # no room
+        sf.graph._fused_cache = None
+        assert sf.graph.fused_traversal(
+            sf.store, table.segment.dense_host["V"],
+            global_config.fused_max_bytes) == (None, None)
+        global_config.device_hbm_bytes = 64 << 30  # plenty
+        sf.graph._fused_cache = None
+        fused, scale = sf.graph.fused_traversal(
+            sf.store, table.segment.dense_host["V"],
+            global_config.fused_max_bytes)
+        assert fused is not None and float(scale) > 0
+        code, res = vdb.query("t", "V", x[7].tolist(), ["ID"], 10, "", True)
+        assert res[0]["ID"] == 7
+    finally:
+        (global_config.fused_traversal, global_config.fused_max_bytes,
+         global_config.device_hbm_bytes) = old
+
+
 def test_sharded_fused_with_tail_and_filter(tmp_path):
     """Fused traversal + post-build tail rows + device filter compose."""
     old = global_config.fused_traversal

@@ -647,11 +647,28 @@ class ShardedGraphIndex:
         if need > max_bytes:
             self._fused_cache = deny
             return deny
+        # Per-device gate: live stats when the backend reports them, else
+        # DeviceHbmBytes (config) minus the per-device resident shards
+        # (store buf + norms + adjacency) — the axon backend returns no
+        # memory_stats, so the configured-total path is what actually
+        # guards real deployments (same policy as GraphIndex._free_hbm_bytes).
         from ..utils import device_hbm_stats
         stats = device_hbm_stats()
-        if stats is not None and need // s > 0.55 * (stats[1] - stats[0]):
-            self._fused_cache = deny
-            return deny
+        need_dev = need // s
+        if stats is not None:
+            if need_dev > 0.55 * (stats[1] - stats[0]):
+                self._fused_cache = deny
+                return deny
+        else:
+            from ..config import global_config
+            hbm = int(getattr(global_config, "device_hbm_bytes", 0))
+            if hbm > 0:
+                resident_dev = (store.buf.nbytes + store.norms.nbytes
+                                + self.adjacency_host.nbytes
+                                + self.rep_ids_host.nbytes) // s
+                if need_dev > 0.65 * (hbm - resident_dev):
+                    self._fused_cache = deny
+                    return deny
         n = self.num_rows
         scale = float(np.abs(host[:n]).max()) / 127.0
         if not np.isfinite(scale) or scale <= 0.0:
