@@ -76,6 +76,9 @@ class Config:
         # Above this row count, graph builds use IVF-partitioned KNN
         # (ops/ivf.py, sub-quadratic) instead of the exact blocked scan.
         self.ivf_knn_threshold = 3_000_000
+        # IVF-KNN probe count; 0 = auto (scales with cluster skew above
+        # max_clusters * cluster_rows rows — see ops/ivf.ivf_knn).
+        self.ivf_probes = 0
         # Pool-search stage of the graph build (per-node beam search over
         # the bootstrap KNN graph): beam width and iteration budget. The
         # stage is the build's linear cost (~0.2 ms/row at 128-d).
@@ -164,6 +167,8 @@ class Config:
                                lambda v: 0.0 <= v <= 1000.0, False),
         "IvfKnnThreshold": ("ivf_knn_threshold", int,
                             lambda v: 10_000 <= v <= 1_000_000_000, False),
+        "IvfProbes": ("ivf_probes", int,
+                      lambda v: 0 <= v <= 1024, False),
         # 0 = auto (index.graph resolves the measured policy).
         "BuildSearchL": ("build_search_l", int,
                          lambda v: v == 0 or 8 <= v <= 1024, False),
@@ -237,6 +242,7 @@ class Config:
             "BeamCompact": self.beam_compact,
             "ShardCount": self.shard_count,
             "IvfKnnThreshold": self.ivf_knn_threshold,
+            "IvfProbes": self.ivf_probes,
             "QueryBatchWindowMs": self.query_batch_window_ms,
             "BuildSearchL": self.build_search_l,
             "BuildSearchIters": self.build_search_iters,

@@ -634,6 +634,7 @@ class GraphIndex:
             # the [N, K] f32 matrix (2.5 GB at 10M) never crosses the
             # relay in either direction.
             ids_h, _ = ivf_knn(store.buf, store.norms, n, knn_k, metric,
+                               n_probe=getattr(_cfg, "ivf_probes", 0),
                                need_dists=False)
             pad_n = -(-n // PRUNE_BATCH) * PRUNE_BATCH
             if pad_n > n:
