@@ -419,6 +419,12 @@ def run_bench():
     from vectordb_tpu.schema import MetricType
 
     n = int(os.environ.get("BENCH_N", 500_000))
+    cfg_env = os.environ.get("BENCH_CONFIG", "")
+    if cfg_env:  # e.g. BENCH_CONFIG='{"FusedTraversal": "off"}' for A/Bs
+        from vectordb_tpu.config import global_config as _gc
+        ok, _ = _gc.update(json.loads(cfg_env))
+        assert ok, f"bad BENCH_CONFIG: {cfg_env}"
+        log(f"config override: {cfg_env}")
     # 4 batches of 2048: the pipelined runner overlaps host re-rank with
     # the next batch's kernel (single-batch passes can't).
     dim, k, n_queries, batch = 128, 10, 8192, 2048

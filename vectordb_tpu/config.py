@@ -98,16 +98,21 @@ class Config:
         # device program (lax.scan), amortizing the per-dispatch fixed
         # cost (~45 ms through a tunneled relay). 1 = off.
         self.query_group_size = 4
-        # Fused int8 traversal ("auto" | "on" | "off"): inline each node's
+        # Fused int8 traversal ("off" | "auto" | "on"): inline each node's
         # traversal neighbors' int8-quantized vectors with its adjacency
         # row so one beam iteration gathers [B*expand] fused rows instead
-        # of [B*compact] vector rows (row gathers are row-count-bound;
-        # measured 6x+ per-iteration speedup at 500k x 128). Costs
-        # N * degree * dim_padded bytes of HBM; auto = on while the table
-        # fits fused_max_bytes AND the free-HBM estimate (index/graph.py
-        # fused_traversal/_free_hbm_bytes); exact final ordering is
-        # preserved by the f32 re-rank.
-        self.fused_traversal = "auto"
+        # of [B*compact] vector rows. DEFAULT OFF: the gather-descriptor
+        # win is real in isolation (benchmarks/fused_gather_micro.py) but
+        # the un-compacted candidate width it forces (C = expand*degree =
+        # 192 vs BeamCompact = 96) doubles the scoring einsums and widens
+        # the merge sort 128->256 lanes, and the END-TO-END A/B on the
+        # real chip measured a 1.8x REGRESSION (500k x 128 grouped:
+        # 24.7k QPS fused vs 44.4k split, identical tuned params and
+        # recall 0.9999) — post-compaction the iteration is compute/merge
+        # bound, not gather bound. Kept for explicit A/B ("on") and
+        # size-gated "auto"; exact final ordering is always preserved by
+        # the f32 re-rank.
+        self.fused_traversal = "off"
         self.fused_max_bytes = 12 << 30
         # Physical device HBM (bytes) for backends that report no
         # memory_stats (the tunneled axon TPU backend returns None): HBM
