@@ -59,7 +59,11 @@ def main():
         else:
             raise RuntimeError("server did not come up")
 
-        post(port, "/api/load", {"name": "sb", "path": tmp + "/sb"})
+        # vectorScale: the reference's default table capacity is 150k
+        # (web_controller.hpp:38) and inserts past it are a hard error by
+        # design — size the table to the workload like a client would.
+        post(port, "/api/load", {"name": "sb", "path": tmp + "/sb",
+                                 "vectorScale": max(n + 1024, 150_000)})
         post(port, "/api/sb/schema/tables", {
             "name": "t",
             "fields": [
@@ -83,7 +87,9 @@ def main():
         print(f"ingest {n}: {ingest_s:.1f}s "
               f"({n/ingest_s:.0f} rows/s via JSON REST)", file=sys.stderr)
         t0 = time.time()
-        post(port, "/api/rebuild", {})
+        # Cold-cache builds compile dozens of kernels through the remote
+        # compiler; give the one-time rebuild headroom beyond the default.
+        post(port, "/api/rebuild", {}, timeout=1800)
         rebuild_s = time.time() - t0
         print(f"rebuild: {rebuild_s:.1f}s", file=sys.stderr)
 

@@ -224,3 +224,44 @@ def test_export_reference_graph_first_record_id(tmp_path):
     with open(path, "rb") as f:
         n, first = struct.unpack("<Qq", f.read(16))
     assert (n, first) == (2, 42)
+
+
+def test_concurrent_rebuilds_build_once(tmp_path):
+    """The 60s background rebuild thread and an explicit POST /api/rebuild
+    must not run the same compile-heavy graph build twice concurrently
+    (measured: two racing 200k builds pushed one device past 600 s).
+    Table._rebuild_lock serializes callers; the loser skips via built==n."""
+    import threading
+    from vectordb_tpu.index.graph import GraphIndex
+
+    n, dim = 300, 16
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    vdb.load_db("rrdb", str(tmp_path / "rrdb"), vector_scale=n)
+    vdb.use_db("rrdb")
+    vdb.create_table("t", [
+        {"name": "ID", "dataType": "INT", "primaryKey": True},
+        {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+         "metricType": "EUCLIDEAN"}])
+    vdb.insert("t", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+
+    table = vdb._engine().get_db("rrdb").get_table("t")
+    calls = []
+    real_build = GraphIndex.__dict__["build"]
+    orig = real_build.__func__
+
+    def counting_build(cls, *args, **kwargs):
+        calls.append(threading.get_ident())
+        return orig(cls, *args, **kwargs)
+
+    GraphIndex.build = classmethod(counting_build)
+    try:
+        threads = [threading.Thread(target=table.rebuild) for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        GraphIndex.build = real_build
+    assert len(calls) == 1, f"graph built {len(calls)} times"
+    assert table.graphs["V"] is not None and table.graphs["V"].num_rows == n

@@ -50,6 +50,14 @@ def main(argv=None) -> int:
     jax.jit(lambda a: a + 1)(jnp.zeros((8, 128))).block_until_ready()
     logger.info("JAX compile path primed")
 
+    # Serving mode pre-compiles EVERY query-batch bucket after load/
+    # rebuild (table._warmup): a client flood right after a rebuild must
+    # never stall behind a big-bucket XLA compile (measured 19.2 s p-max
+    # in the serving bench). Library users keep the cheap default; a
+    # POST /api/config can still lower it live.
+    from .config import global_config
+    global_config.warmup_buckets = 2048
+
     db = DBServer()
     db.inject_embedding_service(EmbeddingService(args.embedding_baseurl))
     db.set_leader(args.leader)

@@ -6,17 +6,21 @@ executor from a pool of NumExecutorPerField
 BATCHING: concurrent requests that share the same (table, field, metric,
 limit, filter-state) coalesce into one batched beam-search / flat-scan call.
 
-Coalescing is execution-time, not window-based: the first request of a
-group submits a runner to the device executor; every request that arrives
-while earlier work still occupies the device joins the group; the runner
+Coalescing is primarily execution-time: the first request of a group
+submits a runner to the device executor; every request that arrives while
+earlier work still occupies the device joins the group; the runner
 snapshots and closes the group only when the device actually gets to it.
 Under closed-loop load the group size therefore grows to the number of
 concurrent clients — per-query cost amortizes to the batched kernel rate —
-while a lone query runs immediately with no added latency.
+while a lone query runs almost immediately. QueryBatchWindowMs (default
+2 ms) adds a short accumulation sleep at the head of each dispatch so
+groups also fill when the device happens to be idle; it is bounded well
+below the relay round trip, so lone-query latency is effectively flat.
 """
 from __future__ import annotations
 
 import threading
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -61,8 +65,22 @@ class QueryBatcher:
 
         if leader:
             def runner():
-                # Runs on the device executor when the device frees up;
-                # snapshot + close the group at that moment.
+                # Runs on the device executor when the device frees up.
+                # QueryBatchWindowMs adds a short accumulation window on
+                # top of execution-time coalescing: with the device idle a
+                # lone query would otherwise close its group instantly,
+                # and under partial load groups close at whatever depth
+                # the previous dispatch happened to leave queued. A few ms
+                # is noise next to the ~30 ms relay round trip but lets a
+                # client flood coalesce to full batches.
+                # Server mode only (an executor loop owns the device):
+                # library-mode callers run inline and must not pay the
+                # sleep on every single query.
+                window_s = float(self.config.query_batch_window_ms) / 1e3
+                ex = self.device_executor
+                if window_s > 0 and ex is not None and ex.loop_active:
+                    time.sleep(window_s)
+                # Snapshot + close the group at execution time.
                 with self._lock:
                     if self._open.get(key) is group:
                         del self._open[key]

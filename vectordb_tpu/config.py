@@ -79,6 +79,11 @@ class Config:
         # IVF-KNN probe count; 0 = auto (scales with cluster skew above
         # max_clusters * cluster_rows rows — see ops/ivf.ivf_knn).
         self.ivf_probes = 0
+        # Largest query-batch bucket pre-compiled after load/rebuild
+        # (table._warmup). 16 = smallest only (library default); the REST
+        # server raises it to 2048 at boot so a client flood never stalls
+        # behind a big-bucket XLA compile. 0 = no warmup.
+        self.warmup_buckets = 16
         # Pool-search stage of the graph build (per-node beam search over
         # the bootstrap KNN graph): beam width and iteration budget. The
         # stage is the build's linear cost (~0.2 ms/row at 128-d).
@@ -174,6 +179,8 @@ class Config:
                             lambda v: 10_000 <= v <= 1_000_000_000, False),
         "IvfProbes": ("ivf_probes", int,
                       lambda v: 0 <= v <= 1024, False),
+        "WarmupBuckets": ("warmup_buckets", int,
+                          lambda v: 0 <= v <= 4096, False),
         # 0 = auto (index.graph resolves the measured policy).
         "BuildSearchL": ("build_search_l", int,
                          lambda v: v == 0 or 8 <= v <= 1024, False),
@@ -248,6 +255,7 @@ class Config:
             "ShardCount": self.shard_count,
             "IvfKnnThreshold": self.ivf_knn_threshold,
             "IvfProbes": self.ivf_probes,
+            "WarmupBuckets": self.warmup_buckets,
             "QueryBatchWindowMs": self.query_batch_window_ms,
             "BuildSearchL": self.build_search_l,
             "BuildSearchIters": self.build_search_iters,

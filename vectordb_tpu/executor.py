@@ -49,6 +49,13 @@ class DeviceExecutor:
     def stop(self) -> None:
         self._stop.set()
 
+    @property
+    def loop_active(self) -> bool:
+        """True when a run_loop() thread currently owns the device
+        (server mode); False in library mode, where run() executes
+        inline on the caller."""
+        return self._thread_id is not None
+
     # ---- caller side --------------------------------------------------
 
     def submit(self, fn: Callable, *args, **kwargs) -> Future:

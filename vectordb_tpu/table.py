@@ -105,6 +105,12 @@ class Table:
         self.graphs: Dict[str, Any] = {}
         self.graph_lock = threading.Lock()
         self._graph_built_rows: Dict[str, int] = {}
+        # Serializes rebuild() callers: the 60 s background thread and an
+        # explicit POST /api/rebuild can otherwise run the SAME compile-
+        # heavy graph build twice, concurrently, on one device (measured:
+        # two racing 200k builds pushed a 172 s build past 600 s). The
+        # second caller blocks, then skips via the built==n re-check.
+        self._rebuild_lock = threading.Lock()
         # Per-field tuned beam width (tune_search_ef); overrides the global
         # SearchEf when set. Persisted beside the graph artifacts.
         self.search_ef_override: Dict[str, int] = {}
@@ -1461,6 +1467,10 @@ class Table:
             logger.error(f"Failed to load graph for {field_name}: {e}")
 
     def rebuild(self) -> Status:
+        with self._rebuild_lock:
+            return self._rebuild_impl()
+
+    def _rebuild_impl(self) -> Status:
         if self.is_leader:
             self.segment.save(self.segment_path)
             self.wal.clean_up_old_files()
@@ -1516,18 +1526,34 @@ class Table:
         return Status.OK()
 
     def _warmup(self, field_name: str) -> None:
-        """Pre-compile the smallest query-batch bucket for this field so the
-        first user query doesn't pay XLA compilation (expensive through
-        remote compilers; results land in the persistent cache)."""
+        """Pre-compile query-batch buckets for this field so user queries
+        don't pay XLA compilation (expensive through remote compilers;
+        results land in the persistent cache).
+
+        `WarmupBuckets` caps the largest bucket warmed: the default (16)
+        warms only the smallest (library mode — cheap), while the REST
+        server boots with the full set (2048): a measured 256-client flood
+        right after a rebuild otherwise stalls EVERY client behind the
+        first big-bucket compile (19.2 s max search in the serving bench)
+        — the TPU analog of the reference pre-allocating its 16 executors
+        per field at table load (table_mvp.cpp:72-89)."""
         try:
             n = self.segment.record_number
             if n == 0:
                 return
-            q = self.segment.dense_host[field_name][:1].copy()
+            cap = int(getattr(self.config, "warmup_buckets", 16))
+            if cap <= 0:
+                return
             valid = self.segment.valid_mask()
-            self.batch_dense_search(field_name, q, valid,
-                                    self.metric_map[field_name],
-                                    min(10, n), mask_cacheable=True)
+            host = self.segment.dense_host[field_name]
+            k = min(10, n)
+            for b in BATCH_BUCKETS:
+                if b > max(cap, BATCH_BUCKETS[0]):
+                    break
+                q = host[np.arange(b) % n].copy()
+                self.batch_dense_search(field_name, q, valid,
+                                        self.metric_map[field_name],
+                                        k, mask_cacheable=True)
         except Exception as e:
             logger.debug(f"warmup skipped for {field_name}: {e}")
 
