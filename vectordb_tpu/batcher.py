@@ -79,7 +79,15 @@ class QueryBatcher:
                 window_s = float(self.config.query_batch_window_ms) / 1e3
                 ex = self.device_executor
                 if window_s > 0 and ex is not None and ex.loop_active:
-                    time.sleep(window_s)
+                    # Only a genuinely shallow group pays the window:
+                    # execution-time coalescing already filled deep groups,
+                    # and back-to-back distinct (table, field, k) keys must
+                    # not each serialize a sleep on the one device loop
+                    # thread (advisor r3).
+                    with self._lock:
+                        depth = len(group.queries)
+                    if depth <= 1:
+                        time.sleep(window_s)
                 # Snapshot + close the group at execution time.
                 with self._lock:
                     if self._open.get(key) is group:

@@ -23,6 +23,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import weakref
 from typing import Optional, Tuple
 
 import jax
@@ -33,6 +34,10 @@ from ..logger import logger
 from ..ops.knn import exact_knn
 from ..schema import MetricType
 from ..utils import atomic_write_bytes
+
+# Every constructed GraphIndex, for cross-field resident-HBM accounting in
+# _free_hbm_bytes (weak: dropped tables release their graphs to GC).
+_LIVE_GRAPHS: "weakref.WeakSet" = weakref.WeakSet()
 
 # Build defaults; reference NSG uses K=100/out_degree=50
 # (ann_graph_segment.cpp:28-29). Degree 32 + alpha 1.2 + reverse slack
@@ -385,6 +390,7 @@ class GraphIndex:
         self._rep_ids_dev = None
         self._table_f32 = None
         self.rep_ids_host = _make_rep_ids(num_rows, nav_point)
+        _LIVE_GRAPHS.add(self)
 
     # Device views -----------------------------------------------------
 
@@ -433,9 +439,12 @@ class GraphIndex:
         tables, and the f32 re-rank copy. `include_f32_reserve` additionally
         reserves the NOT-yet-materialized f32 copy's size (grouped query
         mode materializes it after the fused table, so the fused gate must
-        leave room for it)."""
-        store = self.segment.device_view(self.field_name)
-        total = store.buf.nbytes + store.norms.nbytes
+        leave room for it). Reads the raw device store WITHOUT sync (this
+        is accounting, not a search; other fields' accounting must not
+        trigger their uploads)."""
+        store = self.segment.dense_device[self.field_name]
+        total = ((store.buf.nbytes if store.buf is not None else 0)
+                 + (store.norms.nbytes if store.norms is not None else 0))
         total += (self._adjacency_dev.nbytes
                   if self._adjacency_dev is not None
                   else self.adjacency_host.nbytes)
@@ -454,8 +463,10 @@ class GraphIndex:
 
     def _free_hbm_bytes(self, include_f32_reserve: bool = False):
         """Best-effort free HBM: live backend stats when available, else
-        `DeviceHbmBytes` (config; 0 = unknown) minus this field's resident
-        device buffers. The axon backend reports no memory_stats, so the
+        `DeviceHbmBytes` (config; 0 = unknown) minus the resident device
+        buffers of EVERY live graph/field (advisor r3: counting only this
+        field over-admitted when several vector fields/tables share one
+        device). The axon backend reports no memory_stats, so the
         configured-total path is what actually guards tunneled TPUs.
         Returns (free_bytes, live: bool); free is None when unknowable."""
         from ..utils import device_hbm_stats
@@ -466,7 +477,14 @@ class GraphIndex:
         total = int(getattr(global_config, "device_hbm_bytes", 0))
         if total <= 0:
             return None, False
-        return total - self._resident_device_bytes(include_f32_reserve), False
+        resident = 0
+        for g in list(_LIVE_GRAPHS):
+            try:
+                resident += g._resident_device_bytes(
+                    include_f32_reserve and g is self)
+            except Exception:  # torn-down segment mid-drop: skip it
+                pass
+        return total - resident, False
 
     def table_f32(self, max_bytes: int):
         """Immutable f32 device copy of the graph's rows for ON-DEVICE
@@ -511,7 +529,8 @@ class GraphIndex:
         self._table_f32 = buf
         return buf
 
-    def fused_traversal(self, r_used: int, max_bytes: int):
+    def fused_traversal(self, r_used: int, max_bytes: int,
+                        forced: bool = False):
         """Fused traversal table: `(fused [N_pad, r*Dp] int8 device array,
         dequant scale)` where row i inlines the int8-quantized vectors of
         node i's first `r` traversal neighbors (CAGRA-Q-style layout).
@@ -555,11 +574,23 @@ class GraphIndex:
         # fused table in grouped mode) so fusing can't starve it.
         free, live = self._free_hbm_bytes(include_f32_reserve=True)
         if free is not None and need > (0.55 if live else 0.65) * free:
-            logger.info(f"fused traversal gated off: need {need / 1e9:.2f} "
-                        f"GB, free~{free / 1e9:.2f} GB "
-                        f"({'live' if live else 'cfg'})")
-            cache[r] = deny
-            return deny
+            if forced and not live:
+                # FusedTraversal="on" is an explicit A/B directive; the
+                # cfg-estimate gate is a guess (DeviceHbmBytes default
+                # minus this field's buffers), so honor the operator and
+                # say so loudly instead of silently measuring the split
+                # path (advisor r3).
+                logger.warning(
+                    f"fused traversal FORCED past cfg-estimate HBM gate: "
+                    f"need {need / 1e9:.2f} GB, free~{free / 1e9:.2f} GB")
+            else:
+                msg = (f"fused traversal gated off: need {need / 1e9:.2f} "
+                       f"GB, free~{free / 1e9:.2f} GB "
+                       f"({'live' if live else 'cfg'})")
+                # warning when a forced A/B is being overridden by LIVE stats
+                (logger.warning if forced else logger.info)(msg)
+                cache[r] = deny
+                return deny
 
         host = self.segment.dense_host[self.field_name][:n]
         scale = float(np.abs(host).max()) / 127.0

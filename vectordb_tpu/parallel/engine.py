@@ -603,6 +603,7 @@ class ShardedGraphIndex:
                            metric: MetricType, store) -> np.ndarray:
         """IVF-partitioned KNN per shard (ops/ivf.py) over each shard's own
         rows; returns [S, cap_s, K] LOCAL slot ids (-1 padded)."""
+        from ..config import global_config
         from ..ops.ivf import ivf_knn
 
         s = int(mesh.devices.size)
@@ -616,6 +617,8 @@ class ShardedGraphIndex:
             rows[:ln, : store.dim] = host[g, : store.dim]
             tab_i = jax.device_put(rows, devices[i]).astype(store.dtype)
             ids_h, _ = ivf_knn(tab_i, None, ln, knn_k, metric,
+                               n_probe=getattr(global_config,
+                                               "ivf_probes", 0),
                                need_dists=False)
             out[i, :ln] = ids_h
             del tab_i

@@ -436,7 +436,7 @@ class Table:
         budget = (self.config.fused_max_bytes if mode == "auto"
                   else (1 << 60))
         return graph.fused_traversal(self.config.beam_traversal_degree,
-                                     budget)
+                                     budget, forced=(mode == "on"))
 
     def _field_ef(self, field_name: str, ef: Optional[int] = None) -> int:
         """Beam width for a field: explicit arg > tuned override > global
