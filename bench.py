@@ -426,6 +426,7 @@ def make_shim(seg, graph):
             self.field_type_map = {"V": FieldType.VECTOR_FLOAT}
             self.search_ef_override = {}
             self.search_iters_override = {}
+            self.search_qdtype_override = {}
             self.is_leader = False  # tune_search_ef: skip sidecar persist
             self.schema = seg.schema
 

@@ -151,3 +151,36 @@ def test_partial_group_padding(tmp_path):
                                         MetricType.EUCLIDEAN, 1, batch=64)
     assert ids.shape[0] == 333
     assert (ids[:, 0] == np.arange(333)).mean() >= 0.995
+
+
+def test_packed_wire_dtype_is_int32():
+    """The grouped result pack must keep INT32 as the wire dtype: ids
+    bitcast to f32 are denormals (row ids < 2^23 have a zero exponent)
+    and the TPU/relay path flushes them to zero — measured on the real
+    chip: every id arrived as 0 while CPU tests passed (no FTZ on CPU).
+    Distances ride as bitcast int32 bits instead, which survive."""
+    import jax.numpy as jnp
+
+    from vectordb_tpu.ops import beam as beam_ops
+    from vectordb_tpu.schema import MetricType
+
+    rng = np.random.default_rng(0)
+    n, dim, b, g = 512, 16, 32, 2
+    dp = 128
+    tab = jnp.asarray(
+        np.pad(rng.normal(size=(n, dim)).astype(np.float32),
+               ((0, 0), (0, dp - dim))), dtype=jnp.bfloat16)
+    nrm = jnp.asarray((np.asarray(tab, np.float32) ** 2).sum(1))
+    adj = jnp.asarray(rng.integers(0, n, size=(n, 8), dtype=np.int32))
+    reps = jnp.asarray(np.arange(16, dtype=np.int32))
+    ok = jnp.asarray(np.ones(n, bool))
+    q = jnp.asarray(rng.normal(size=(g, b, dp)).astype(np.float32))
+    packed = beam_ops.beam_search_grouped(
+        q, tab, nrm, adj, reps, ok, None, int(MetricType.EUCLIDEAN),
+        16, 4, 4, 8, 0, 10, 10, 0, pack_out=True)
+    assert packed.dtype == jnp.int32
+    host = np.asarray(packed).reshape(-1, packed.shape[-1])
+    d = host[:, :10].view(np.float32)
+    ids = host[:, 10:]
+    assert np.isfinite(d).any()
+    assert (ids[np.isfinite(d[:, 0]), 0] >= 0).all()

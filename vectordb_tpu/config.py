@@ -106,18 +106,16 @@ class Config:
         # Fused int8 traversal ("off" | "auto" | "on"): inline each node's
         # traversal neighbors' int8-quantized vectors with its adjacency
         # row so one beam iteration gathers [B*expand] fused rows instead
-        # of [B*compact] vector rows. DEFAULT OFF: the gather-descriptor
-        # win is real in isolation (benchmarks/fused_gather_micro.py) but
-        # the un-compacted candidate width it forces (C = expand*degree =
-        # 192 vs BeamCompact = 96) doubles the scoring einsums and widens
-        # the merge sort 128->256 lanes, and the END-TO-END A/B on the
-        # real chip measured a 1.8x REGRESSION (500k x 128 grouped:
-        # 24.7k QPS fused vs 44.4k split, identical tuned params and
-        # recall 0.9999) — post-compaction the iteration is compute/merge
-        # bound, not gather bound. Kept for explicit A/B ("on") and
-        # size-gated "auto"; exact final ordering is always preserved by
-        # the f32 re-rank.
-        self.fused_traversal = "off"
+        # of [B*compact] vector rows. DEFAULT AUTO (size-gated). History:
+        # round 3 measured a 1.8x end-to-end REGRESSION and defaulted it
+        # off — that loss was an artifact of the lax loop machinery
+        # (~1.5-1.8 ms of backend overhead PER loop step, iter_micro.py)
+        # taxing the fused path's uncompacted width; with tuned-depth
+        # traversals now compiled as straight-line code the round-4 A/B
+        # flipped: 500k x 128 grouped 57.0k QPS fused vs 51.7k split,
+        # 100k 60.5k vs 51.0k, identical tuned params, recall 0.997 both.
+        # Exact final ordering is always preserved by the f32 re-rank.
+        self.fused_traversal = "auto"
         self.fused_max_bytes = 12 << 30
         # Physical device HBM (bytes) for backends that report no
         # memory_stats (the tunneled axon TPU backend returns None): HBM
@@ -125,6 +123,15 @@ class Config:
         # resident buffers instead of flying blind. Default = TPU v5e
         # (16 GB). 0 = unknown -> only static byte caps apply.
         self.device_hbm_bytes = 16 << 30
+        # Query upload dtype for the grouped throughput path: "f32" |
+        # "bf16" | "auto". The h2d query upload sits on the first
+        # super-chunk's critical path (~45 MB/s through a tunneled relay;
+        # bf16 halves it). Traversal already scores queries in the table
+        # dtype and the EUCLIDEAN q-norm term is a per-query constant, so
+        # bf16 only perturbs the on-device exact re-rank's near-tie
+        # ordering; "auto" applies bf16 ONLY for fields where
+        # tune_search_ef measured the recall target still met with it.
+        self.query_dtype = "auto"
         # Pool-SEARCH stage on/off: "auto" | "on" | "off". Measured
         # (500k x 128 and 500k x 960, 4096 queries vs exact oracle): with
         # query-time representative-cover seeding the KNN-only prune graph
@@ -200,6 +207,8 @@ class Config:
                           lambda v: 0 <= v <= (1 << 40), False),
         "DeviceHbmBytes": ("device_hbm_bytes", int,
                            lambda v: 0 <= v <= (1 << 44), False),
+        "QueryDtype": ("query_dtype", str,
+                       lambda v: v in ("auto", "f32", "bf16"), False),
     }
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
@@ -266,6 +275,7 @@ class Config:
             "FusedTraversal": self.fused_traversal,
             "FusedMaxBytes": self.fused_max_bytes,
             "DeviceHbmBytes": self.device_hbm_bytes,
+            "QueryDtype": self.query_dtype,
         }
 
 

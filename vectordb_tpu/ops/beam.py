@@ -29,6 +29,13 @@ import numpy as np
 from ..schema import MetricType
 
 DEFAULT_EXPAND = 4  # beam entries expanded per iteration (M)
+# Traversals at or below this depth compile as straight-line code instead
+# of a lax.while_loop: each loop step pays ~1.5-1.8 ms of backend overhead
+# (measured empty-loop floor, benchmarks/iter_micro.py) while a tuned
+# traversal iteration's real work is ~2-4 ms. Deep untuned walks (default
+# max_iters = beam width) keep the while_loop, whose early exit matters
+# there and whose compile stays bounded.
+UNROLL_MAX_ITERS = 16
 
 
 def _cand_scores(q, vecs, q_norms, metric: int):
@@ -132,9 +139,18 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         rep_d = 1.0 - ip
     else:
         rep_d = -ip
-    neg_top, top_idx = jax.lax.top_k(-rep_d, n_seed)           # [B, n_seed]
+    if s_reps >= 4096:
+        # approx_min_k lowers to the TPU PartialReduce op instead of a
+        # full 16k-lane sort (rep counts reach 16-49k at 500k+ rows; the
+        # exact top_k here cost multiple ms per batch). Seeding is purely
+        # navigational — at-most-one-seed-per-column-group even adds
+        # basin diversity — and final ordering is repaired by the exact
+        # re-rank, so approximate selection is free recall-wise.
+        seed_d, top_idx = jax.lax.approx_min_k(rep_d, n_seed)
+    else:
+        neg_top, top_idx = jax.lax.top_k(-rep_d, n_seed)       # [B, n_seed]
+        seed_d = -neg_top
     seed_ids = jnp.take(rep_ids, top_idx)                      # [B, n_seed]
-    seed_d = -neg_top
 
     pad = L - n_seed
     beam_ids = jnp.pad(seed_ids, ((0, 0), (0, pad)), constant_values=-1)
@@ -245,6 +261,7 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         return (sids[:, :L], sexp[:, :L], sd[:, :L], visited, it + 1)
 
     state = (beam_ids, beam_exp, beam_d, visited, jnp.int32(0))
+    done_iters = 0
     if fused is None and 0 < Cp < C and max_iters > 0:
         # Peel iteration 0 without compaction (see comment in body). The
         # max_iters>0 guard matters: with max_iters=0 visited is [b, 0]
@@ -252,8 +269,22 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         # fail at trace time, where the contract is "return the seed beam
         # untouched".
         state = body(state, cp=0)
-    beam_ids, beam_exp, beam_d, visited, _ = jax.lax.while_loop(
-        cond, body, state)
+        done_iters = 1
+    if max_iters <= UNROLL_MAX_ITERS:
+        # Straight-line traversal: ONE lax loop step costs ~1.5-1.8 ms of
+        # pure backend overhead on this TPU backend (measured: an EMPTY
+        # lax.scan step is 1.50 ms, while_loop 1.75 ms — benchmarks/
+        # iter_micro.py) — at tuned depths (4-8 iterations) that floor
+        # was HALF the kernel time. Unrolling is result-identical: once
+        # every tracked beam entry is expanded, body()'s picks go
+        # invalid and the iteration is a no-op, which is exactly the
+        # while_loop's exit condition.
+        for _ in range(done_iters, max_iters):
+            state = body(state)
+        beam_ids, beam_exp, beam_d, visited, _ = state
+    else:
+        beam_ids, beam_exp, beam_d, visited, _ = jax.lax.while_loop(
+            cond, body, state)
     return beam_d, beam_ids, visited
 
 
@@ -319,12 +350,12 @@ def _exact_rerank_device(q_f32, table_f32, d_approx, ids, metric: int,
     jax.jit,
     static_argnames=("metric", "beam_width", "expand", "max_iters",
                      "num_seeds", "term_width", "k_cand", "k_out",
-                     "compact"))
+                     "compact", "pack_out"))
 def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
                         table_f32, metric: int, beam_width: int, expand: int,
                         max_iters: int, num_seeds: int, term_width: int,
                         k_cand: int, k_out: int, compact: int = 0,
-                        fused=None, scale=None):
+                        fused=None, scale=None, pack_out: bool = False):
     """THROUGHPUT mode: lax.scan over G query batches inside ONE device
     program. Through a tunneled relay every dispatch pays a large fixed
     cost (~45 ms rtt + fetch, measured r2b) that bounded batch-2048 QPS at
@@ -340,7 +371,17 @@ def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
       exactly re-scored and the top k_out returned with EXACT distances
       (host re-rank becomes a no-op); when None, returns the k_cand
       approx candidates per group (k_out ignored) for the host re-rank.
-    Returns ([G, B, k] dists asc, [G, B, k] ids), -1/inf padded.
+    pack_out: return ONE [G, B, 2k] INT32 array instead of a (dists, ids)
+      pair — dists BITCAST to int32 in [..., :k], ids in [..., k:]. The
+      d2h result fetch through a tunneled relay pays a large per-transfer
+      handshake (~25-30 ms measured on top of bytes), so the throughput
+      path fetches a single packed array and un-bitcasts on host. int32
+      is the wire dtype on purpose: ids bitcast to f32 are DENORMALS
+      (row ids < 2^23 have a zero exponent) and get flushed to zero on
+      the way out — measured, every id arrived as 0 — while integer
+      paths never flush; f32 distance bits survive the reverse bitcast.
+    Returns ([G, B, k] dists asc, [G, B, k] ids) — or the packed array —
+    -1/inf padded.
     """
     def step(carry, q):
         d, ids = beam_search_topk(q, table, norms, adjacency, rep_ids,
@@ -352,7 +393,13 @@ def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
                                           k_out)
         return carry, (d, ids)
 
-    _, (ds, ids) = jax.lax.scan(step, jnp.int32(0), queries_g)
+    # unroll: the backend's ~1.5 ms/step lax.scan floor (iter_micro.py)
+    # would otherwise tax every grouped batch; G is small and static.
+    _, (ds, ids) = jax.lax.scan(step, jnp.int32(0), queries_g,
+                                unroll=True)
+    if pack_out:
+        return jnp.concatenate(
+            [jax.lax.bitcast_convert_type(ds, jnp.int32), ids], axis=-1)
     return ds, ids
 
 

@@ -89,8 +89,12 @@ def _flat_topk_scan(q, table, norms, mask, metric: int, k: int, chunk: int,
         neg_top, sel = jax.lax.top_k(-all_d, k)
         return (-neg_top, jnp.take_along_axis(all_i, sel, axis=1)), None
 
+    # unroll=4: each lax.scan step costs ~1.5 ms of backend overhead on
+    # top of its work (measured, benchmarks/iter_micro.py) — at 500k rows
+    # that's 61 steps = ~90 ms of pure floor. 4x unrolling cuts it to a
+    # quarter at bounded compile cost.
     (best_d, best_i), _ = jax.lax.scan(
-        body, init, (table_c, norms_c, mask_c, base_ids))
+        body, init, (table_c, norms_c, mask_c, base_ids), unroll=4)
     return best_d, best_i
 
 

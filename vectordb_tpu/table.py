@@ -115,6 +115,9 @@ class Table:
         # SearchEf when set. Persisted beside the graph artifacts.
         self.search_ef_override: Dict[str, int] = {}
         self.search_iters_override: Dict[str, int] = {}
+        # Per-field query upload dtype ("bf16") validated by tune_search_ef
+        # against the recall target; only honored when QueryDtype="auto".
+        self.search_qdtype_override: Dict[str, str] = {}
         self._load_tuned_ef()
         # Multi-chip data plane (config.shard_count >= 2): each dense field
         # gets a row-sharded device store + per-shard graphs on the mesh.
@@ -473,6 +476,8 @@ class Table:
                         self.search_ef_override[str(k)] = int(v["ef"])
                     if int(v.get("iters", 0)) > 0:
                         self.search_iters_override[str(k)] = int(v["iters"])
+                    if v.get("qdtype") == "bf16":
+                        self.search_qdtype_override[str(k)] = "bf16"
                 elif int(v) > 0:  # legacy format: bare ef int
                     self.search_ef_override[str(k)] = int(v)
         except (OSError, ValueError, AttributeError, TypeError):
@@ -487,7 +492,8 @@ class Table:
 
         ensure_dir(os.path.dirname(self._tuned_ef_path()))
         merged = {f: {"ef": e,
-                      "iters": self.search_iters_override.get(f, 0)}
+                      "iters": self.search_iters_override.get(f, 0),
+                      "qdtype": self.search_qdtype_override.get(f, "f32")}
                   for f, e in self.search_ef_override.items()}
         atomic_write_bytes(self._tuned_ef_path(),
                            json.dumps(merged).encode())
@@ -509,7 +515,8 @@ class Table:
         # dominant cost (row gathers per iteration), so shallow walks at
         # small beam widths are tried before widening; iters=0 = full
         # beam-width depth (the pre-r3 behavior, the robust tail).
-        ladder = ((16, 4), (24, 4), (16, 8), (24, 8), (32, 8), (48, 8),
+        ladder = ((16, 3), (16, 4), (24, 4), (16, 8), (24, 8), (32, 8),
+                  (48, 8),
                   (16, 0), (24, 0), (32, 0), (48, 0), (64, 0), (96, 0),
                   (128, 0), (192, 0), (256, 0), (384, 0), (512, 0))
         report: Dict[str, Any] = {}
@@ -583,9 +590,54 @@ class Table:
                 self.search_iters_override[fname] = chosen[1]
             else:
                 self.search_iters_override.pop(fname, None)
+            # Validate bf16 query upload at the chosen (ef, iters):
+            # re-running with the queries pre-rounded to bf16 is input-
+            # equivalent to the grouped path's bf16 upload (the kernel
+            # casts to the table dtype either way; the host re-rank here
+            # then also sees the rounded q, matching the device re-rank).
+            qd_recall = 0.0
+            self.search_qdtype_override.pop(fname, None)
+            if chosen_recall >= target_recall and \
+                    getattr(self.config, "query_dtype", "f32") == "auto":
+                import ml_dtypes
+                q_r = queries.astype(ml_dtypes.bfloat16).astype(np.float32)
+                gt_total = max(sum(len(g) for g in gt_sets), 1)
+
+                def bf16_recall(ef_i, it_i):
+                    ids_r, _ = self.batch_dense_search(
+                        fname, q_r, valid, metric, kk, mask_cacheable=True,
+                        ef=ef_i, iters=it_i)
+                    hits_r = sum(len(set(row[row >= 0].tolist()) & g)
+                                 for row, g in zip(ids_r, gt_sets))
+                    return hits_r / gt_total
+
+                qd_recall = bf16_recall(*chosen)
+                if qd_recall >= target_recall:
+                    self.search_qdtype_override[fname] = "bf16"
+                else:
+                    # A marginal rung can pass at f32 yet fail at bf16.
+                    # One extra traversal iteration (~1-3 ms/batch) is
+                    # cheaper than doubling the query upload (~10 ms per
+                    # batch through the relay), so try the NEXT ladder
+                    # rung with bf16 before settling for f32.
+                    idx = ladder.index(chosen)
+                    if idx + 1 < len(ladder):
+                        nxt = ladder[idx + 1]
+                        r_nxt = bf16_recall(*nxt)
+                        if r_nxt >= target_recall:
+                            chosen, qd_recall = nxt, r_nxt
+                            self.search_ef_override[fname] = nxt[0]
+                            if nxt[1]:
+                                self.search_iters_override[fname] = nxt[1]
+                            else:
+                                self.search_iters_override.pop(fname, None)
+                            self.search_qdtype_override[fname] = "bf16"
             report[fname] = {"ef": chosen[0], "iters": chosen[1],
                              "recall": round(chosen_recall, 4),
-                             "target": target_recall, "tried": tried}
+                             "target": target_recall, "tried": tried,
+                             "qdtype": self.search_qdtype_override.get(
+                                 fname, "f32"),
+                             "qdtype_bf16_recall": round(qd_recall, 4)}
             logger.info(f"tune_search_ef {self.schema.name}.{fname}: "
                         f"ef={chosen[0]} iters={chosen[1]} "
                         f"recall@{kk}={chosen_recall:.4f}")
@@ -694,9 +746,10 @@ class Table:
 
         def _drain(h):
             s, real, dev = h
-            d_h, ids_h = jax.device_get(dev)
-            d_h = d_h.reshape(-1, d_h.shape[-1])[:real]
-            ids_h = ids_h.reshape(-1, ids_h.shape[-1])[:real]
+            packed = np.asarray(dev)  # [G, B, 2w] int32, one d2h transfer
+            packed = packed.reshape(-1, packed.shape[-1])[:real]
+            d_h = packed[:, :out_w].view(np.float32)
+            ids_h = packed[:, out_w:]
             ids_np = ids_h.astype(np.int64)
             ids_np[~np.isfinite(d_h)] = -1
             ids_all[s:s + real] = ids_np
@@ -708,6 +761,21 @@ class Table:
         # for a fresh 4 MB batch through the relay vs a 28 ms bare rtt),
         # so without this the upload serializes with every kernel. Two in
         # flight bounds device-side query/result buffers.
+        # Query upload dtype: bf16 halves the h2d bytes (the upload sits
+        # on the first chunk's critical path; ~45 MB/s through a tunneled
+        # relay). Traversal already scores in the table dtype and q_norms
+        # is a per-query constant (never affects candidate ORDER); only
+        # the exact re-rank's near-tie ordering can shift, so bf16 is
+        # applied ONLY when tune_search_ef measured the recall target met
+        # with it (search_qdtype_override), or forced via QueryDtype.
+        q_dtype = np.float32
+        mode_qd = getattr(self.config, "query_dtype", "f32")
+        if (mode_qd == "bf16"
+                or (mode_qd == "auto"
+                    and self.search_qdtype_override.get(field_name)
+                    == "bf16")):
+            import jax.numpy as _jnp
+            q_dtype = _jnp.bfloat16
         inflight = []
         for s in range(0, q_total, super_chunk):
             qc = queries[s:s + super_chunk]
@@ -716,14 +784,15 @@ class Table:
             qp[: qc.shape[0], : qc.shape[1]] = qc
             if qc.shape[0] < g * batch:  # pad with a real query (row 0)
                 qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
-            qg = jnp.asarray(qp.reshape(g, batch, store.dim_padded))
-            d_dev, ids_dev = beam_ops.beam_search_grouped(
+            qg = jnp.asarray(qp.reshape(g, batch, store.dim_padded),
+                             dtype=q_dtype)
+            dev = beam_ops.beam_search_grouped(
                 qg, graph.table, graph.norms, adj, graph.rep_ids, dm, tf32,
                 int(metric), int(bw), int(self.config.beam_expand),
                 int(max_iters), 32, term, int(k_cand), int(k_eff),
                 0 if fused is not None else int(self.config.beam_compact),
-                fused=fused, scale=fscale)
-            inflight.append((s, qc.shape[0], (d_dev, ids_dev)))
+                fused=fused, scale=fscale, pack_out=True)
+            inflight.append((s, qc.shape[0], dev))
             if len(inflight) > 2:
                 _drain(inflight.pop(0))
         for h in inflight:
