@@ -440,3 +440,67 @@ def test_sharded_fused_with_tail_and_filter(tmp_path):
         assert len(ids) == 10 and all(i % 4 < 2 or i >= 3000 for i in ids)
     finally:
         global_config.fused_traversal = old
+
+
+def test_sharded_grouped_one_program_per_super_chunk(tmp_path):
+    """Grouped throughput mode on the sharded plane: one shard_map
+    program per batch*G super-chunk (counted via launch_grouped), oracle
+    recall, and the single packed int32 drain (VERDICT r3 #5)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(4000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    assert vdb.rebuild() == 0
+    table = vdb._db.databases["sdb"].tables["t"]
+    sf = table.sharded_fields["V"]
+    assert sf.graph is not None
+
+    calls = []
+    orig = type(sf).launch_grouped
+
+    def spy(self, qg, *a, **kw):
+        calls.append(qg.shape)
+        return orig(self, qg, *a, **kw)
+
+    type(sf).launch_grouped = spy
+    try:
+        from vectordb_tpu.schema import MetricType
+        global_config.query_group_size = 2
+        queries = x[rng.integers(0, len(x), 512)] + 0.01 * rng.normal(
+            size=(512, 32)).astype(np.float32)
+        valid = table.segment.valid_mask()
+        ids, d = table.grouped_dense_search(
+            "t" and "V", queries, valid, MetricType.EUCLIDEAN, 10,
+            batch=128, mask_cacheable=True)
+    finally:
+        type(sf).launch_grouped = orig
+        global_config.query_group_size = 4
+    # 512 queries / (128 * G=2) = 2 super-chunks -> 2 programs of [2, 128, Dp]
+    assert [c[:2] for c in calls] == [(2, 128), (2, 128)], calls
+    assert ids.shape == (512, 10)
+    hits = 0
+    for i, q in enumerate(queries):
+        hits += len(set(ids[i][ids[i] >= 0].tolist())
+                    & set(_oracle(x, q, 10).tolist()))
+    assert hits / (512 * 10) >= 0.97
+    # Exact distances from the host re-rank
+    q0 = queries[0]
+    want = np.sort(((x[ids[0][ids[0] >= 0]] - q0) ** 2).sum(1))
+    np.testing.assert_allclose(d[0][: len(want)], want, rtol=1e-5)
+
+
+def test_sharded_tuned_iters_ladder_applies(tmp_path):
+    """tune_search_ef's (ef, iters) rungs must run (not skip) on the
+    sharded plane and the chosen iters cap must reach the launch."""
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(3000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    assert vdb.rebuild() == 0
+    table = vdb._db.databases["sdb"].tables["t"]
+    report = table.tune_search_ef(target_recall=0.9, sample=32, k=5)
+    assert "V" in report
+    # The cheapest rung has iters > 0; on a 3000-row table it must meet
+    # 0.9 easily, proving iters rungs are exercised sharded.
+    assert report["V"]["iters"] > 0
+    assert report["V"]["recall"] >= 0.9

@@ -567,10 +567,6 @@ class Table:
             tried = []
             chosen, chosen_recall = ladder[-1], 0.0
             for ef, iters in ladder:
-                if sf is not None and iters:
-                    # Sharded launch exposes no per-call iteration cap;
-                    # only full-depth rungs apply there.
-                    continue
                 ids, _ = self.batch_dense_search(fname, queries, valid,
                                                  metric, kk,
                                                  mask_cacheable=True, ef=ef,
@@ -693,9 +689,16 @@ class Table:
         n = seg.record_number
         graph = self.graphs.get(field_name)
         g_max = max(1, int(self.config.query_group_size))
+        sf = getattr(self, "sharded_fields", {}).get(field_name)
+        if (g_max > 1 and queries.shape[0] > batch and sf is not None
+                and sf.graph is not None and filter_ctx is None
+                and n >= self.config.brute_force_threshold
+                and not self.config.pre_filter):
+            return self._grouped_sharded(sf, field_name, queries, valid,
+                                         metric, k, batch, g_max,
+                                         mask_cacheable, ef)
         fast = (g_max > 1 and queries.shape[0] > batch
-                and getattr(self, "sharded_fields", {}).get(field_name)
-                is None
+                and sf is None
                 and graph is not None
                 and n >= self.config.brute_force_threshold
                 and not self.config.pre_filter
@@ -814,6 +817,90 @@ class Table:
                 metric, k_eff, q_total)
         return ids_all, d_all
 
+    def _grouped_sharded(self, sf, field_name: str, queries: np.ndarray,
+                         valid: np.ndarray, metric: MetricType, k: int,
+                         batch: int, g_max: int, mask_cacheable: bool,
+                         ef: Optional[int]
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sharded-plane THROUGHPUT mode: one shard_map program per
+        batch*G super-chunk with dispatch-ahead and a single packed int32
+        drain — the single-chip grouped mode at multi-chip scale
+        (VERDICT r3 #5). Candidates come back GLOBAL; the exact f32
+        re-rank stays on the host mirror (the sharded store keeps no f32
+        copy), identical to the per-batch sharded path."""
+        seg = self.segment
+        n = seg.record_number
+        n_alive = int(np.count_nonzero(valid))
+        k_eff = min(k, max(n_alive, 1))
+        sf.sync(seg.dense_host[field_name], seg.dense_norms[field_name], n)
+        ver = None
+        if mask_cacheable:
+            ver = seg.mutation_version
+            valid = seg.valid_mask()
+        k_cand = min(k_eff + GRAPH_SLACK, max(n_alive, 1))
+        beam = max(self._field_ef(field_name, ef), k_cand)
+        term = min(max(self.config.beam_term_width, k_cand), beam)
+        it = self._field_iters(field_name, beam)
+        r_single = self.config.beam_traversal_degree or 48
+        compact = self.config.beam_compact
+        if compact:
+            r_shard = sf.graph.adjacency_host.shape[2]
+            compact = compact * r_shard // max(r_single, 1)
+        fused = None
+        mode = getattr(self.config, "fused_traversal", "auto")
+        if mode != "off":
+            budget = (self.config.fused_max_bytes if mode == "auto"
+                      else (1 << 60))
+            fused = sf.graph.fused_traversal(
+                sf.store, seg.dense_host[field_name], budget)
+            if fused[0] is None:
+                fused = None
+        q_total = queries.shape[0]
+        dp = sf.store.dim_padded
+        cand_all = np.full((q_total, k_cand), -1, dtype=np.int64)
+        super_chunk = batch * g_max
+
+        def _drain(h):
+            s, real, dev = h
+            packed = np.asarray(dev)
+            packed = packed.reshape(-1, packed.shape[-1])[:real]
+            d_h = packed[:, :k_cand].view(np.float32)
+            ids_np = packed[:, k_cand:].astype(np.int64)
+            ids_np[~np.isfinite(d_h)] = -1
+            cand_all[s:s + real] = ids_np
+
+        inflight = []
+        for s in range(0, q_total, super_chunk):
+            qc = queries[s:s + super_chunk]
+            g = -(-qc.shape[0] // batch)
+            qp = np.zeros((g * batch, dp), dtype=np.float32)
+            qp[: qc.shape[0], : qc.shape[1]] = qc
+            if qc.shape[0] < g * batch:
+                qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
+            dev = sf.launch_grouped(
+                qp.reshape(g, batch, dp), valid, metric, k_cand,
+                beam_width=beam, expand=self.config.beam_expand,
+                term_width=term, mask_version=ver, compact=compact,
+                fused=fused, iters=0 if it >= beam else it)
+            inflight.append((s, qc.shape[0], dev))
+            if len(inflight) > 2:
+                _drain(inflight.pop(0))
+        for h in inflight:
+            _drain(h)
+        # Full-k guarantee (rare): top up under-filled rows via the exact
+        # sharded flat scan, like the per-batch path's collect.
+        per_query_valid = (cand_all >= 0).sum(axis=1)
+        if per_query_valid.min() < min(k_eff, n_alive):
+            qp_all = np.zeros((q_total, dp), dtype=np.float32)
+            qp_all[:, : queries.shape[1]] = queries
+            f_ids = sf.search(qp_all, valid, metric, k_cand,
+                              use_graph=False, beam_width=beam,
+                              expand=self.config.beam_expand,
+                              term_width=term, mask_version=ver)
+            cand_all = np.concatenate([cand_all, f_ids], axis=1)
+        return self._rerank_candidates(field_name, queries, cand_all,
+                                       metric, k_eff, q_total)
+
     def _pipelined_batches(self, field_name: str, queries: np.ndarray,
                            valid: np.ndarray, metric: MetricType, k: int,
                            batch: int, mask_cacheable: bool,
@@ -912,7 +999,7 @@ class Table:
             h["dev"], h["shard_ctx"] = self._sharded_launch(
                 sharded, field_name, queries, valid, metric, k_eff, n,
                 n_alive, mask_cacheable, ef=ef, shard_filter=shard_filter,
-                boost=boost, pre_filter=pre_filter)
+                boost=boost, pre_filter=pre_filter, iters=iters)
             return h
 
         use_graph = (graph is not None
@@ -1050,7 +1137,8 @@ class Table:
                         k_eff: int, n: int, n_alive: int,
                         mask_cacheable: bool, ef: Optional[int] = None,
                         shard_filter=None, boost: int = 1,
-                        pre_filter: bool = False):
+                        pre_filter: bool = False,
+                        iters: Optional[int] = None):
         """Launch candidate generation on the sharded data plane: per-shard
         beam (+tail) or per-shard flat, all_gather-merged to GLOBAL ids.
         Returns (device handles, context for collect's top-up)."""
@@ -1105,10 +1193,16 @@ class Table:
                     sf.store, seg.dense_host[field_name], budget)
                 if fused[0] is None:
                     fused = None
+        # Tuned traversal depth applies on the sharded plane too (same
+        # policy as single-chip: boosted/filtered searches walk full
+        # depth, the per-shard graph converges in <= the tuned iters).
+        it = (0 if boost > 1
+              else self._field_iters(field_name, beam, iters))
         dev = sf.launch(qp, valid, metric, k_cand, use_graph=use_graph,
                         beam_width=beam, expand=self.config.beam_expand,
                         term_width=term, mask_version=ver, compact=compact,
-                        shard_filter=shard_filter, fused=fused)
+                        shard_filter=shard_filter, fused=fused,
+                        iters=0 if it >= beam else it)
         ctx = {"qp": qp, "valid": valid, "ver": ver, "use_graph": use_graph,
                "k_cand": k_cand, "beam": beam, "term": term,
                "shard_filter": shard_filter}
