@@ -82,3 +82,21 @@ def test_graph_build_via_ivf(tmp_path):
         assert hits >= 28, hits
     finally:
         global_config.ivf_knn_threshold = old
+
+
+def test_auto_max_clusters_scales_with_n():
+    """VERDICT r3 #6: the centroid budget grows with N past the old 4096
+    cap so sibling-tile counts (and therefore the auto probe budget)
+    stay flat at 16M+ instead of paying 3.3x probe multiples."""
+    from vectordb_tpu.ops.ivf import _auto_max_clusters
+
+    assert _auto_max_clusters(1_000_000) == 4096     # floor
+    assert _auto_max_clusters(4_000_000) == 4096
+    c16 = _auto_max_clusters(16_000_000)
+    assert c16 == 16_000_000 // 2400
+    # siblings at 16M with the scaled budget stay in the validated band
+    siblings = 16_000_000 / (1024 * c16)
+    assert siblings <= 2.45
+    import numpy as np
+    assert int(np.ceil(3.3 * siblings)) <= 8        # probe floor holds
+    assert _auto_max_clusters(100_000_000) == 16384  # ceiling

@@ -157,10 +157,23 @@ def _probed_knn_batch(ci, members, member_valid, table, probe_ids,
     return -neg_top, ids
 
 
+def _auto_max_clusters(n: int, cluster_rows: int = 1024) -> int:
+    """Centroid budget that scales with N: the fixed 4096 cap was the
+    measured 16M recall ceiling (same-centroid sibling tiles consume the
+    first probes; r3 recovered recall by 3.3x-ing the probe count at
+    3.3x probe-stage cost). Growing centroids as n/2400 keeps siblings
+    ~<= 2.4 — the validated 10M regime — so the auto probe budget stays
+    at its floor (8) and the probe stage stays flat; the extra cost is
+    one wider assignment matmul (~linear in the centroid count). Ceiling
+    16384 bounds the k-means sample (64 rows/centroid) and the tile-
+    centroid distance matrix."""
+    return int(min(16384, max(4096, n // 2400)))
+
+
 def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
             cluster_rows: int = 1024, n_probe: int = 0,
             kmeans_iters: int = 8, block: int = 8192,
-            max_clusters: int = 4096,
+            max_clusters: int = 0,
             need_dists: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sub-quadratic KNN over rows [0, n) of device table [N_pad, D].
 
@@ -178,6 +191,8 @@ def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
 
     t0 = _time.perf_counter()
     n_pad = table.shape[0]
+    if max_clusters <= 0:  # auto: scale with n (see _auto_max_clusters)
+        max_clusters = _auto_max_clusters(n, cluster_rows)
     c_real = max(8, min(n // cluster_rows, max_clusters))
     if n_probe <= 0:
         # Auto probe budget scaled to cluster skew: above
