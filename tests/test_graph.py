@@ -374,3 +374,57 @@ def test_build_search_pools_config_paths():
         hits = sum(len(set(ids[i, :5].tolist()) & set(gt[i].tolist()))
                    for i in range(64))
         assert hits / (64 * 5) >= 0.97, (mode, hits / 320)
+
+
+class TestCoverReps:
+    """k-means cover representatives: one seed per basin by construction.
+
+    Pins the r4 fix for the measured 200k failure — uniform-random reps
+    miss small isolated clusters (~exp(-cluster_size*S/N) each), stranding
+    their queries at ANY beam width (best rep 3x further than the true
+    neighborhood). See index/graph._cover_rep_ids."""
+
+    def test_every_isolated_cluster_gets_a_seed(self):
+        import jax.numpy as jnp
+        from vectordb_tpu.index.graph import _make_rep_ids, _rep_count
+
+        n, d, n_clusters = 8192, 16, 64
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 100
+        labels = rng.integers(0, n_clusters, n)
+        # One deliberately tiny cluster (8 rows): the case random reps miss.
+        labels[:8] = 0
+        labels[8:][labels[8:] == 0] = 1
+        x = (centers[labels]
+             + 0.1 * rng.normal(size=(n, d))).astype(np.float32)
+
+        s = _rep_count(n)
+        assert s >= 256 and n >= 4 * s  # cover path is active at this shape
+        reps = _make_rep_ids(n, nav=0, table=jnp.asarray(x))
+        assert reps.dtype == np.int32 and len(reps) == s
+        assert np.all((reps >= 0) & (reps < n))
+        covered = set(labels[reps].tolist())
+        missing = set(range(n_clusters)) - covered
+        assert not missing, f"clusters with no rep seed: {sorted(missing)}"
+
+    def test_rep_ids_persist_roundtrip(self, tmp_path):
+        from vectordb_tpu.schema import FieldSchema, TableSchema, FieldType
+        from vectordb_tpu.segment import TableSegment
+
+        n, dim = 512, 16
+        x = make_data(n=n, d=dim, seed=3)
+        schema = TableSchema(id=0, name="t", fields=[
+            FieldSchema(id=0, name="ID", is_primary_key=True,
+                        field_type=FieldType.INT4),
+            FieldSchema(id=1, name="V", field_type=FieldType.VECTOR_FLOAT,
+                        vector_dimension=dim,
+                        metric_type=MetricType.EUCLIDEAN)])
+        seg = TableSegment(schema, n)
+        seg.record_number = n
+        seg.dense_host["V"][:n] = x
+        seg.dense_norms["V"][:n] = (x ** 2).sum(1)
+        g = GraphIndex.build(seg, "V", MetricType.EUCLIDEAN)
+        path = str(tmp_path / "g.npz")
+        g.save(path)
+        g2 = GraphIndex.load(path, seg, "V")
+        np.testing.assert_array_equal(g.rep_ids_host, g2.rep_ids_host)

@@ -123,6 +123,16 @@ class Config:
         # resident buffers instead of flying blind. Default = TPU v5e
         # (16 GB). 0 = unknown -> only static byte caps apply.
         self.device_hbm_bytes = 16 << 30
+        # Auto-tune search parameters after every leader graph build:
+        # tune_search_ef walks the (ef, iters) ladder against the target
+        # recall on self-queries and persists per-field overrides. Without
+        # it a served table runs the static SearchEf default at FULL
+        # traversal depth — measured 0.28 s per ~51-query group in the
+        # serving bench vs ~15 ms tuned (the reference ships static queue
+        # sizes, config.hpp:18-24; an accuracy-targeted auto-tune is the
+        # TPU-native replacement).
+        self.auto_tune_search = True
+        self.auto_tune_target_recall = 0.995
         # Query upload dtype for the grouped throughput path: "f32" |
         # "bf16" | "auto". The h2d query upload sits on the first
         # super-chunk's critical path (~45 MB/s through a tunneled relay;
@@ -209,6 +219,9 @@ class Config:
                            lambda v: 0 <= v <= (1 << 44), False),
         "QueryDtype": ("query_dtype", str,
                        lambda v: v in ("auto", "f32", "bf16"), False),
+        "AutoTuneSearch": ("auto_tune_search", bool, None, False),
+        "AutoTuneTargetRecall": ("auto_tune_target_recall", float,
+                                 lambda v: 0.5 <= v <= 1.0, False),
     }
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
@@ -276,6 +289,8 @@ class Config:
             "FusedMaxBytes": self.fused_max_bytes,
             "DeviceHbmBytes": self.device_hbm_bytes,
             "QueryDtype": self.query_dtype,
+            "AutoTuneSearch": self.auto_tune_search,
+            "AutoTuneTargetRecall": self.auto_tune_target_recall,
         }
 
 

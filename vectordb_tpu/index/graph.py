@@ -82,14 +82,77 @@ def resolve_build_search_params() -> Tuple[int, int]:
     return sl, it
 
 
-def _make_rep_ids(n: int, nav: int) -> np.ndarray:
+def _rep_count(n: int) -> int:
     s = int(min(MID_REPS, max(MIN_REPS, n // 16)))
     if n > MID_REPS * 16:  # grow as sqrt(N) past the measured regime
         s = int(min(MAX_REPS, MID_REPS * (n / (MID_REPS * 16)) ** 0.5))
-    s = min(s, n)
-    rng = np.random.default_rng(0)  # deterministic cover
-    reps = rng.choice(n, size=s, replace=False).astype(np.int32)
+    return min(s, n)
+
+
+# Cover k-means is capped here: the full-table assignment materializes a
+# [8192, C] f32 block per step (512 MB at 16384) and Lloyd cost grows
+# linearly in C; past the cap the remainder of the rep budget is filled
+# randomly (the cover already guarantees every basin has a seed).
+COVER_MAX_CENTROIDS = 16384
+
+
+def _cover_rep_ids(table, n: int, s: int) -> np.ndarray:
+    """One member row per k-means cluster: a true epsilon-net cover.
+
+    Uniform-random reps miss small isolated clusters with probability
+    ~exp(-cluster_size * S / N) — measured at 200k x 128 clustered
+    (3000 centers): 2/256 self-queries had NO rep within 3x their
+    cluster radius (best rep d=779 vs true top-10 at d<=230) and greedy
+    descent never recovered, capping recall at 0.992 at ANY beam width.
+    k-means centroids place one seed in every basin by construction."""
+    from ..ops.ivf import _assign_all, _kmeans_iters
+
+    c_real = min(s, COVER_MAX_CENTROIDS)
+    c = -(-c_real // 128) * 128
+    samp = min(n, max(16 * c_real, 4096))
+    samp_ids = np.linspace(0, n - 1, samp).astype(np.int64)
+    s_pad = -(-samp // 1024) * 1024
+    samp_pad = np.zeros(s_pad, np.int64)
+    samp_pad[:samp] = samp_ids
+    sample = jnp.take(table, jnp.asarray(samp_pad.astype(np.int32)), axis=0)
+    init_ids = np.linspace(0, samp - 1, c_real).astype(np.int32)
+    cent0 = np.full((c, table.shape[1]), 1e15, np.float32)
+    cent0[:c_real] = np.asarray(
+        jnp.take(sample, jnp.asarray(init_ids), axis=0), dtype=np.float32)
+    s_norms = jnp.sum(sample.astype(jnp.float32) ** 2, axis=1)
+    centroids = _kmeans_iters(sample, s_norms, jnp.asarray(cent0), samp,
+                              1024, 4)
+    blk = min(8192, table.shape[0])
+    while table.shape[0] % blk:
+        blk //= 2
+    a1, _ = _assign_all(table, centroids, n, blk)
+    a1 = np.asarray(a1)[:n]
+    _, first = np.unique(a1, return_index=True)
+    return first.astype(np.int32)  # first member row of each cluster
+
+
+def _make_rep_ids(n: int, nav: int, table=None) -> np.ndarray:
+    """Representative seed rows. With a device `table` available and a
+    large-enough budget, reps are a k-means COVER (one per basin — see
+    _cover_rep_ids for the measured failure of random reps); otherwise
+    (tiny tables, no device view) a deterministic random sample."""
+    s = _rep_count(n)
+    rng = np.random.default_rng(0)  # deterministic
+    reps = None
+    if table is not None and s >= 256 and n >= 4 * s:
+        try:
+            reps = _cover_rep_ids(table, n, s)
+        except Exception as e:  # cover is an optimization, never fatal
+            logger.warning(f"cover reps failed ({e}); random fallback")
+    if reps is None:
+        reps = rng.choice(n, size=s, replace=False).astype(np.int32)
+    elif reps.size < s:
+        extra = rng.choice(n, size=s - reps.size).astype(np.int32)
+        reps = np.concatenate([reps, extra])
+    else:
+        reps = reps[:s]
     if nav not in reps:
+        reps = reps.copy()
         reps[0] = nav
     return reps
 
@@ -379,7 +442,8 @@ class GraphIndex:
     dense vector column (the reference's ANNGraphSegment role)."""
 
     def __init__(self, segment, field_name: str, metric: MetricType,
-                 adjacency_host: np.ndarray, nav_point: int, num_rows: int):
+                 adjacency_host: np.ndarray, nav_point: int, num_rows: int,
+                 rep_ids_host: Optional[np.ndarray] = None):
         self.segment = segment
         self.field_name = field_name
         self.metric = metric
@@ -389,7 +453,15 @@ class GraphIndex:
         self._adjacency_dev = None
         self._rep_ids_dev = None
         self._table_f32 = None
-        self.rep_ids_host = _make_rep_ids(num_rows, nav_point)
+        if rep_ids_host is not None:  # build/persisted cover reps
+            self.rep_ids_host = np.asarray(rep_ids_host, dtype=np.int32)
+        else:  # legacy artifact: recompute (cover when the store exists)
+            tab = None
+            try:
+                tab = segment.device_view(field_name).buf
+            except Exception:
+                pass
+            self.rep_ids_host = _make_rep_ids(num_rows, nav_point, tab)
         _LIVE_GRAPHS.add(self)
 
     # Device views -----------------------------------------------------
@@ -696,6 +768,10 @@ class GraphIndex:
         boot_adj = boot_reps = None
         pool_size = min(128, max(degree * 2, 64))
         search_l, search_iters = resolve_build_search_params()
+        # Cover reps computed ONCE per build (device k-means; the store is
+        # already synced): shared by the bootstrap searches, the repair
+        # roots, and the query-time seeds via the constructor.
+        reps_host = _make_rep_ids(n, nav, store.buf)
         if search_pools:
             # Bootstrap graph for pool searches: half degree halves the
             # gather volume of the (gather-bound) pool stage with
@@ -707,7 +783,7 @@ class GraphIndex:
                                 ((0, 0), (0, boot_deg - knn_r.shape[1])),
                                 constant_values=-1)
             boot_adj = jnp.where(knn_r >= 0, knn_r, -1).astype(jnp.int32)
-            boot_reps = jnp.asarray(_make_rep_ids(n, nav))
+            boot_reps = jnp.asarray(reps_host)
 
         # Fixed-size node batches at dynamic offsets -> exactly one compiled
         # executable for the whole loop; results accumulate on device and
@@ -775,7 +851,7 @@ class GraphIndex:
         _lap("repair")
         norms_h = segment.dense_norms[field_name][:n]
         adjacency, n_components = finalize_adjacency(
-            fwd, host, norms_h, n, degree, r_total, _make_rep_ids(n, nav))
+            fwd, host, norms_h, n, degree, r_total, reps_host)
         if n_components:
             logger.info(f"Graph repair: bridged {n_components} disconnected "
                         "components")
@@ -794,7 +870,8 @@ class GraphIndex:
                     float(n) * n + float(n) * per_node)
         logger.info(f"Graph build: {n} rows, degree {degree}x2, "
                     f"{build_s:.1f}s")
-        return cls(segment, field_name, metric, adjacency, nav, n)
+        return cls(segment, field_name, metric, adjacency, nav, n,
+                   rep_ids_host=reps_host)
 
     # Persistence (role of ann_graph_<field>.bin,
     # ann_graph_segment.cpp:156-199). ------------------------------------
@@ -804,6 +881,7 @@ class GraphIndex:
 
         buf = io.BytesIO()
         np.savez(buf, adjacency=self.adjacency_host,
+                 rep_ids=self.rep_ids_host,
                  meta=np.frombuffer(json.dumps({
                      "nav_point": self.nav_point,
                      "num_rows": self.num_rows,
@@ -817,5 +895,9 @@ class GraphIndex:
         with np.load(path, allow_pickle=False) as z:
             meta = json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
             adjacency = z["adjacency"]
+            # rep_ids persisted since r4 (cover reps are a device k-means;
+            # recomputing on every load would cost seconds at 10M+).
+            reps = z["rep_ids"] if "rep_ids" in z.files else None
         return cls(segment, field_name, MetricType(meta["metric"]),
-                   adjacency, meta["nav_point"], meta["num_rows"])
+                   adjacency, meta["nav_point"], meta["num_rows"],
+                   rep_ids_host=reps)

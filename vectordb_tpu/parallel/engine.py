@@ -550,14 +550,41 @@ class ShardedGraphIndex:
         degree = min(degree, knn_k)
         r_total = degree * 2
 
-        # Per-shard representative seeds (local slots).
+        # Per-shard representative seeds (local slots): k-means COVER when
+        # the shard is big enough — random reps miss small isolated
+        # clusters and strand their queries (measured; see
+        # index/graph._cover_rep_ids). The interleaved layout puts ~1/S of
+        # every cluster on each shard, so per-shard covers see every basin.
         n_reps = int(min(2048, max(128, cap_s // 16)))
         reps = np.zeros((s, n_reps), np.int32)
         rng = np.random.default_rng(0)
+        devices = mesh.devices.reshape(-1)
         for i in range(s):
             ln = max(int(local_ns[i]), 1)
-            reps[i] = rng.choice(ln, size=n_reps,
-                                 replace=(ln < n_reps)).astype(np.int32)
+            cover = None
+            if ln >= 4 * n_reps and n_reps >= 256:
+                try:
+                    from ..index.graph import _cover_rep_ids
+                    g = np.arange(ln) * s + i
+                    pad_n = max(_round_up(ln, 8192), 8192)
+                    rows = np.zeros((pad_n, store.dim_padded), np.float32)
+                    rows[:ln, : store.dim] = host[g, : store.dim]
+                    tab_i = jax.device_put(rows, devices[i]).astype(
+                        store.dtype)
+                    cover = _cover_rep_ids(tab_i, ln, n_reps)
+                    del tab_i
+                except Exception as e:
+                    logger.warning(f"shard {i} cover reps failed ({e}); "
+                                   "random fallback")
+            if cover is None:
+                reps[i] = rng.choice(ln, size=n_reps,
+                                     replace=(ln < n_reps)).astype(np.int32)
+            elif cover.size < n_reps:
+                reps[i, :cover.size] = cover
+                reps[i, cover.size:] = rng.choice(
+                    ln, size=n_reps - cover.size).astype(np.int32)
+            else:
+                reps[i] = cover[:n_reps]
 
         qb = min(BUILD_QB, cap_s)
         while cap_s % qb:

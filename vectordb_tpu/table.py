@@ -1379,7 +1379,8 @@ class Table:
         if not subqueries:
             raise VectorDBError(USER_ERROR, "Hybrid query needs subqueries.")
         pool = max(limit * 4, limit + RERANK_SLACK)
-        scores: Dict[int, float] = {}
+        all_ids: List[np.ndarray] = []
+        all_contrib: List[np.ndarray] = []
         for sq in subqueries:
             field = sq.get("field", "")
             weight = float(sq.get("weight", 1.0))
@@ -1403,6 +1404,7 @@ class Table:
             ids, dists = self._search_ids(
                 field, query, pool, filter_nodes,
                 isinstance(query, sparse_ops.SparseVector))
+            ids = np.asarray(ids, dtype=np.int64)
             if rerank == "weighted":
                 finite = np.isfinite(dists)
                 if finite.any():
@@ -1411,16 +1413,26 @@ class Table:
                     sims = 1.0 - (dists - lo) / rng
                 else:
                     sims = np.zeros_like(dists)
-                for rid, sim in zip(ids, sims):
-                    scores[int(rid)] = scores.get(int(rid), 0.0) \
-                        + weight * float(sim)
-            else:  # rrf
-                for rank, rid in enumerate(ids):
-                    scores[int(rid)] = scores.get(int(rid), 0.0) \
-                        + weight / (60.0 + rank + 1)
-        order = sorted(scores.items(), key=lambda kv: -kv[1])[:limit]
-        ids = np.asarray([rid for rid, _ in order], dtype=np.int64)
-        fused = np.asarray([-s for _, s in order], dtype=np.float64)
+                contrib = weight * np.asarray(sims, dtype=np.float64)
+            else:  # rrf, k0=60
+                contrib = weight / (60.0 + np.arange(len(ids),
+                                                     dtype=np.float64) + 1)
+            keep = ids >= 0  # drop under-full padding before fusion
+            all_ids.append(ids[keep])
+            all_contrib.append(contrib[keep])
+        # Vectorized fusion: sum each id's contributions across subqueries
+        # (the reference has no hybrid path; the per-id dict loop this
+        # replaces was the only non-vectorized search post-processing).
+        cat_ids = np.concatenate(all_ids) if all_ids else \
+            np.empty(0, np.int64)
+        cat_c = np.concatenate(all_contrib) if all_contrib else \
+            np.empty(0, np.float64)
+        uniq, inv = np.unique(cat_ids, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, cat_c)
+        top = np.argsort(-sums, kind="stable")[:limit]
+        ids = uniq[top]
+        fused = -sums[top]
         facets: List[Any] = []
         rows: List[Dict[str, Any]] = []
         if query_fields or not facet_executors:
@@ -1660,11 +1672,13 @@ class Table:
                         with self.graph_lock:
                             sf.graph = g
                             self._graph_built_rows[f.name] = g.num_rows
+                        self._auto_tune(f.name)
                     except Exception as e:
                         logger.error(
                             f"Sharded graph build failed for {f.name}: {e}")
                 else:
                     self._try_load_graph(f.name)
+                    self._load_tuned_ef()  # pick up the leader's tuning
                 self._warmup(f.name)
                 continue
             if self.is_leader:
@@ -1679,14 +1693,36 @@ class Table:
                     with self.graph_lock:
                         self.graphs[f.name] = g
                         self._graph_built_rows[f.name] = g.num_rows
+                    self._auto_tune(f.name)
                 except ImportError:
                     pass  # graph module not built yet (phase C)
                 except Exception as e:
                     logger.error(f"Graph build failed for {f.name}: {e}")
             else:
                 self._try_load_graph(f.name)
+                self._load_tuned_ef()  # pick up the leader's tuning
             self._warmup(f.name)
         return Status.OK()
+
+    def _auto_tune(self, field_name: str) -> None:
+        """Leader-side post-build auto-tune (AutoTuneSearch, default on):
+        without it a served table runs the static SearchEf default at
+        FULL traversal depth — measured 0.28 s per ~51-query group in the
+        serving bench vs ~15 ms tuned. Failures only cost the tuning."""
+        if not getattr(self.config, "auto_tune_search", True):
+            return
+        if self.segment.record_number < 20_000:
+            # Small tables are fast at the static default; the ladder's
+            # compile+search cost isn't worth it below this (and keeps
+            # the 60 s rebuild loop cheap for small collections).
+            return
+        try:
+            self.tune_search_ef(
+                field_name,
+                target_recall=float(getattr(
+                    self.config, "auto_tune_target_recall", 0.995)))
+        except Exception as e:
+            logger.warning(f"auto-tune failed for {field_name}: {e}")
 
     def _warmup(self, field_name: str) -> None:
         """Pre-compile query-batch buckets for this field so user queries
