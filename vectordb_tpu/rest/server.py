@@ -18,6 +18,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from ..config import global_config
 from ..db_server import DBServer
+from ..fastjson import dumps_bytes
 from ..errors import (DB_ALREADY_EXIST, DB_NOT_FOUND, INVALID_EXPR,
                       INVALID_PAYLOAD, NOT_IMPLEMENTED_ERROR)
 from ..logger import logger
@@ -434,7 +435,10 @@ def create_server(port: int = 8888, db_server: Optional[DBServer] = None,
                 data = payload.encode("utf-8")
                 ctype = "text/plain"
             else:
-                data = json.dumps(payload).encode("utf-8")
+                # Native C encoder: response serialization is the
+                # single-core hot path (~1.5 ms/request for 10x128-d rows
+                # via stdlib float repr — the measured 353-QPS wall).
+                data = dumps_bytes(payload)
                 ctype = "application/json"
             self.send_response(code)
             self.send_header("Content-Type", ctype)
