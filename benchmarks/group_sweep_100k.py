@@ -51,14 +51,16 @@ def main():
         return hits / (n_queries * k)
 
     configs = []
-    for g, batch in [(2, 2048), (4, 2048), (8, 2048), (2, 4096),
-                     (4, 1024), (8, 1024), (1, 8192)]:
+    for g, batch, ahead in [(2, 2048, 2), (2, 2048, 3), (2, 2048, 4),
+                            (4, 2048, 2), (2, 4096, 2), (4, 1024, 2),
+                            (4, 1024, 4), (8, 1024, 2)]:
         if g * batch > n_queries:
             continue
-        configs.append((g, batch))
+        configs.append((g, batch, ahead))
 
-    for g, batch in configs:
+    for g, batch, ahead in configs:
         global_config.query_group_size = g
+        global_config.dispatch_ahead = ahead
         # warmup/compile + recall (untimed)
         ids, _ = table.grouped_dense_search("V", queries, valid,
                                             MetricType.EUCLIDEAN, k,
@@ -72,7 +74,7 @@ def main():
                                        MetricType.EUCLIDEAN, k,
                                        batch=batch, mask_cacheable=True)
             qs.append(n_queries / (time.perf_counter() - t0))
-        print(json.dumps({"g": g, "batch": batch,
+        print(json.dumps({"g": g, "batch": batch, "ahead": ahead,
                           "qps": round(float(np.median(qs)), 1),
                           "qps_runs": [round(q, 1) for q in qs],
                           "recall": round(rec, 4)}), flush=True)

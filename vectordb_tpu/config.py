@@ -103,6 +103,10 @@ class Config:
         # device program (lax.scan), amortizing the per-dispatch fixed
         # cost (~45 ms through a tunneled relay). 1 = off.
         self.query_group_size = 4
+        # Grouped-path super-chunks kept in flight (dispatch-ahead depth):
+        # chunk i+1's query upload and chunk i-1's result fetch overlap
+        # chunk i's kernel. Bounds device-side query/result buffers.
+        self.dispatch_ahead = 2
         # Fused int8 traversal ("off" | "auto" | "on"): inline each node's
         # traversal neighbors' int8-quantized vectors with its adjacency
         # row so one beam iteration gathers [B*expand] fused rows instead
@@ -211,6 +215,8 @@ class Config:
                                  lambda v: 0 <= v <= (1 << 40), False),
         "QueryGroupSize": ("query_group_size", int,
                            lambda v: 1 <= v <= 64, False),
+        "DispatchAhead": ("dispatch_ahead", int,
+                          lambda v: 1 <= v <= 16, False),
         "FusedTraversal": ("fused_traversal", str,
                            lambda v: v in ("auto", "on", "off"), False),
         "FusedMaxBytes": ("fused_max_bytes", int,
@@ -285,6 +291,7 @@ class Config:
             "DeviceRerank": self.device_rerank,
             "DeviceRerankMaxBytes": self.device_rerank_max_bytes,
             "QueryGroupSize": self.query_group_size,
+            "DispatchAhead": self.dispatch_ahead,
             "FusedTraversal": self.fused_traversal,
             "FusedMaxBytes": self.fused_max_bytes,
             "DeviceHbmBytes": self.device_hbm_bytes,

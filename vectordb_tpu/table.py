@@ -796,7 +796,8 @@ class Table:
                 0 if fused is not None else int(self.config.beam_compact),
                 fused=fused, scale=fscale, pack_out=True)
             inflight.append((s, qc.shape[0], dev))
-            if len(inflight) > 2:
+            if len(inflight) > max(1, int(getattr(
+                    self.config, "dispatch_ahead", 2))):
                 _drain(inflight.pop(0))
         for h in inflight:
             _drain(h)
@@ -883,7 +884,8 @@ class Table:
                 term_width=term, mask_version=ver, compact=compact,
                 fused=fused, iters=0 if it >= beam else it)
             inflight.append((s, qc.shape[0], dev))
-            if len(inflight) > 2:
+            if len(inflight) > max(1, int(getattr(
+                    self.config, "dispatch_ahead", 2))):
                 _drain(inflight.pop(0))
         for h in inflight:
             _drain(h)
