@@ -184,3 +184,25 @@ def test_packed_wire_dtype_is_int32():
     ids = host[:, 10:]
     assert np.isfinite(d).any()
     assert (ids[np.isfinite(d[:, 0]), 0] >= 0).all()
+
+def test_dispatch_ahead_depths_equivalent(tmp_path):
+    """DispatchAhead only changes the drain schedule, never results."""
+    x, table = _mk(tmp_path, n=3000, seed=5)
+    rng = np.random.default_rng(6)
+    queries = x[rng.integers(0, len(x), 520)]
+    valid = table.segment.valid_mask()
+    from vectordb_tpu.schema import MetricType
+    old = global_config.dispatch_ahead
+    try:
+        global_config.query_group_size = 2
+        outs = []
+        for depth in (1, 2, 4):
+            global_config.dispatch_ahead = depth
+            outs.append(table.grouped_dense_search(
+                "V", queries, valid, MetricType.EUCLIDEAN, 5, batch=64,
+                mask_cacheable=True))
+        for ids, d in outs[1:]:
+            np.testing.assert_array_equal(ids, outs[0][0])
+            np.testing.assert_allclose(d, outs[0][1], rtol=0, atol=0)
+    finally:
+        global_config.dispatch_ahead = old
