@@ -477,3 +477,42 @@ def test_tuned_sidecar_roundtrip_and_legacy(tmp_path):
     table._load_tuned_ef()
     assert table.search_ef_override["V"] == 48
     vdb.unload_db("tdb")
+
+
+class TestAutoTuneSearch:
+    """AutoTuneSearch (r4): leader builds >= 20k rows auto-run the
+    (ef, iters) ladder and persist the sidecar — served tables must not
+    walk the static SearchEf default at full depth (the measured 0.28 s
+    -> 15 ms serving group fix, NOTES_ROUND4 R4f)."""
+
+    def _mk(self, tmp_path, name, n):
+        import vectordb_tpu as vdb
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(n, 16)).astype(np.float32)
+        vdb.load_db(name, str(tmp_path / name), vector_scale=n + 8)
+        vdb.use_db(name)
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": 16,
+             "metricType": "EUCLIDEAN"}])
+        vdb.insert_columns("t", {"ID": np.arange(n), "V": x}, n)
+        assert vdb.rebuild() == 0
+        return vdb._db.databases[name].tables["t"]
+
+    def test_large_leader_build_auto_tunes(self, tmp_path):
+        table = self._mk(tmp_path, "autotune", 20_001)
+        assert "V" in table.search_ef_override  # ladder ran + applied
+
+    def test_small_table_skips_auto_tune(self, tmp_path):
+        table = self._mk(tmp_path, "autosmall", 1_500)
+        assert "V" not in table.search_ef_override
+
+    def test_config_off_disables(self, tmp_path):
+        from vectordb_tpu.config import global_config
+        old = global_config.auto_tune_search
+        global_config.auto_tune_search = False
+        try:
+            table = self._mk(tmp_path, "autooff", 20_001)
+            assert "V" not in table.search_ef_override
+        finally:
+            global_config.auto_tune_search = old
