@@ -403,6 +403,11 @@ class TestCoverReps:
         reps = _make_rep_ids(n, nav=0, table=jnp.asarray(x))
         assert reps.dtype == np.int32 and len(reps) == s
         assert np.all((reps >= 0) & (reps < n))
+        # Duplicate rep ids seed duplicate beam entries and surface as
+        # duplicate rows in the grouped device-rerank top-k (no host
+        # dedup stage there) — the rep set must be unique.
+        assert len(set(reps.tolist())) == s
+        assert 0 in reps  # nav point is always a seed
         covered = set(labels[reps].tolist())
         missing = set(range(n_clusters)) - covered
         assert not missing, f"clusters with no rep seed: {sorted(missing)}"

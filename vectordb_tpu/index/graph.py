@@ -96,7 +96,7 @@ def _rep_count(n: int) -> int:
 COVER_MAX_CENTROIDS = 16384
 
 
-def _cover_rep_ids(table, n: int, s: int) -> np.ndarray:
+def _cover_rep_ids(table, n: int, s: int, nav: int = -1) -> np.ndarray:
     """One member row per k-means cluster: a true epsilon-net cover.
 
     Uniform-random reps miss small isolated clusters with probability
@@ -127,8 +127,16 @@ def _cover_rep_ids(table, n: int, s: int) -> np.ndarray:
         blk //= 2
     a1, _ = _assign_all(table, centroids, n, blk)
     a1 = np.asarray(a1)[:n]
-    _, first = np.unique(a1, return_index=True)
-    return first.astype(np.int32)  # first member row of each cluster
+    uniq, first = np.unique(a1, return_index=True)
+    first = first.astype(np.int32)
+    if 0 <= nav < n and nav not in first:
+        # The navigation point must be a seed (reference PrepareInitIds
+        # role). Substituting it for its OWN cluster's seed keeps the
+        # one-seed-per-basin cover property — overwriting an arbitrary
+        # slot would leave that slot's basin unseeded, re-creating the
+        # exact stranding failure the cover exists to fix.
+        first[np.searchsorted(uniq, a1[nav])] = nav
+    return first  # one member row per cluster
 
 
 def _make_rep_ids(n: int, nav: int, table=None) -> np.ndarray:
@@ -141,20 +149,31 @@ def _make_rep_ids(n: int, nav: int, table=None) -> np.ndarray:
     reps = None
     if table is not None and s >= 256 and n >= 4 * s:
         try:
-            reps = _cover_rep_ids(table, n, s)
+            reps = _cover_rep_ids(table, n, s, nav)
         except Exception as e:  # cover is an optimization, never fatal
             logger.warning(f"cover reps failed ({e}); random fallback")
     if reps is None:
         reps = rng.choice(n, size=s, replace=False).astype(np.int32)
-    elif reps.size < s:
-        extra = rng.choice(n, size=s - reps.size).astype(np.int32)
-        reps = np.concatenate([reps, extra])
-    else:
-        reps = reps[:s]
-    if nav not in reps:
-        reps = reps.copy()
-        reps[0] = nav
-    return reps
+        if nav not in reps:
+            reps[0] = nav  # random seeds carry no per-slot cover role
+        return reps
+    if reps.size < s:
+        # Fill the remaining budget with UNIQUE rows outside the cover:
+        # duplicate rep ids seed duplicate beam entries, and the grouped
+        # device-rerank path returns them as duplicate top-k rows (no
+        # host dedup stage there). n >= 4*s, so one oversized draw
+        # almost always suffices; the loop bounds the pathological case.
+        need = s - reps.size
+        extras = np.empty(0, np.int32)
+        taken = reps
+        while extras.size < need:
+            cand = rng.choice(n, size=min(n, 2 * need + 64),
+                              replace=False).astype(np.int32)
+            cand = cand[~np.isin(cand, taken)]
+            extras = np.concatenate([extras, np.unique(cand)])[:need]
+            taken = np.concatenate([reps, extras])
+        reps = np.concatenate([reps, extras])
+    return reps[:s]
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "pool_size"))
@@ -631,8 +650,15 @@ class GraphIndex:
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
-        if r in cache:
-            return cache[r]
+        if r in cache and cache[r][0] is not None:
+            return cache[r]  # built tables are immutable: always valid
+        # Denials are cached per (forced, budget): a deny recorded under
+        # FusedTraversal="auto" must NOT satisfy a later forced A/B call
+        # or a raised budget — that silently measures the wrong path
+        # (the advisor-r3 failure mode the `forced` override exists for).
+        deny_key = (r, bool(forced), int(max_bytes))
+        if deny_key in cache:
+            return cache[deny_key]
         store = self.segment.device_view(self.field_name)
         n, dp, dim = self.num_rows, store.dim_padded, store.dim
         npad = -(-n // 1024) * 1024
@@ -640,7 +666,7 @@ class GraphIndex:
         need = npad * row_w
         deny = (None, None)
         if need > max_bytes:
-            cache[r] = deny
+            cache[deny_key] = deny
             return deny
         # Reserve room for the f32 re-rank copy (materialized AFTER the
         # fused table in grouped mode) so fusing can't starve it.
@@ -661,7 +687,7 @@ class GraphIndex:
                        f"({'live' if live else 'cfg'})")
                 # warning when a forced A/B is being overridden by LIVE stats
                 (logger.warning if forced else logger.info)(msg)
-                cache[r] = deny
+                cache[deny_key] = deny
                 return deny
 
         host = self.segment.dense_host[self.field_name][:n]

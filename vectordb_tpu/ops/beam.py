@@ -29,6 +29,22 @@ import numpy as np
 from ..schema import MetricType
 
 DEFAULT_EXPAND = 4  # beam entries expanded per iteration (M)
+
+
+def unpack_wire(packed: np.ndarray, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode the packed int32 result wire format (the single pinned
+    definition — device-side encoding lives in beam_search_grouped's
+    pack_out and the sharded launch): rows are [..., 2w] int32 with f32
+    distance BITS in [:w] and ids in [w:]. int32 is the wire dtype on
+    purpose — ids bitcast to f32 are denormals (ids < 2^23 have a zero
+    exponent) and get flushed to zero by the device transfer path, while
+    integer paths never flush and f32 distance bits survive the reverse
+    view. Returns (d [..., w] f32 view, ids [..., w] int64 with -1 where
+    the distance is non-finite)."""
+    d = packed[..., :w].view(np.float32)
+    ids = packed[..., w:].astype(np.int64)
+    ids[~np.isfinite(d)] = -1
+    return d, ids
 # Traversals at or below this depth compile as straight-line code instead
 # of a lax.while_loop: each loop step pays ~1.5-1.8 ms of backend overhead
 # (measured empty-loop floor, benchmarks/iter_micro.py) while a tuned
@@ -275,12 +291,18 @@ def beam_search_kernel(queries, table, norms, adjacency, rep_ids,
         # pure backend overhead on this TPU backend (measured: an EMPTY
         # lax.scan step is 1.50 ms, while_loop 1.75 ms — benchmarks/
         # iter_micro.py) — at tuned depths (4-8 iterations) that floor
-        # was HALF the kernel time. Unrolling is result-identical: once
-        # every tracked beam entry is expanded, body()'s picks go
-        # invalid and the iteration is a no-op, which is exactly the
-        # while_loop's exit condition.
+        # was HALF the kernel time. Result-identity with the while_loop
+        # needs the same exit predicate applied: once the top-term_width
+        # entries are all expanded the while_loop STOPS, but body() would
+        # happily keep expanding entries beyond term_width and mutate the
+        # beam — so each unrolled step keeps the previous state when the
+        # predicate says converged (a scalar select per leaf, ~free next
+        # to the iteration's gathers).
         for _ in range(done_iters, max_iters):
-            state = body(state)
+            live = cond(state)
+            nxt = body(state)
+            state = jax.tree.map(
+                lambda new, old: jnp.where(live, new, old), nxt, state)
         beam_ids, beam_exp, beam_d, visited, _ = state
     else:
         beam_ids, beam_exp, beam_d, visited, _ = jax.lax.while_loop(

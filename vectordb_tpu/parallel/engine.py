@@ -693,13 +693,19 @@ class ShardedGraphIndex:
         append-only past num_rows, which the fused table never covers)."""
         cached = getattr(self, "_fused_cache", None)
         if cached is not None:
-            return cached
+            # A cached DENY only holds for budgets <= the one it was
+            # evaluated at — a later call with a raised FusedMaxBytes
+            # (e.g. a forced A/B) must re-evaluate, not inherit the deny.
+            if cached[0] is not None or int(max_bytes) <= getattr(
+                    self, "_fused_deny_budget", 0):
+                return cached
         s, cap_s, r_total = self.adjacency_host.shape
         dp, dim = store.dim_padded, store.dim
         deny = (None, None)
         need = s * cap_s * r_total * dp
         if need > max_bytes:
             self._fused_cache = deny
+            self._fused_deny_budget = int(max_bytes)
             return deny
         # Per-device gate: live stats when the backend reports them, else
         # DeviceHbmBytes (config) minus the per-device resident shards
@@ -712,6 +718,7 @@ class ShardedGraphIndex:
         if stats is not None:
             if need_dev > 0.55 * (stats[1] - stats[0]):
                 self._fused_cache = deny
+                self._fused_deny_budget = int(max_bytes)
                 return deny
         else:
             from ..config import global_config
@@ -722,6 +729,7 @@ class ShardedGraphIndex:
                                 + self.rep_ids_host.nbytes) // s
                 if need_dev > 0.65 * (hbm - resident_dev):
                     self._fused_cache = deny
+                    self._fused_deny_budget = int(max_bytes)
                     return deny
         n = self.num_rows
         scale = float(np.abs(host[:n]).max()) / 127.0

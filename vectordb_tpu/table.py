@@ -474,10 +474,19 @@ class Table:
                 if isinstance(v, dict):  # r3 format: {"ef": .., "iters": ..}
                     if int(v.get("ef", 0)) > 0:
                         self.search_ef_override[str(k)] = int(v["ef"])
+                    # Absent/zeroed entries must CLEAR the override, not
+                    # keep the previous one: followers re-load the sidecar
+                    # after every leader re-tune, and a leader that moved
+                    # back to full depth / f32 would otherwise leave stale
+                    # shallow-iters/bf16 settings serving reduced recall.
                     if int(v.get("iters", 0)) > 0:
                         self.search_iters_override[str(k)] = int(v["iters"])
+                    else:
+                        self.search_iters_override.pop(str(k), None)
                     if v.get("qdtype") == "bf16":
                         self.search_qdtype_override[str(k)] = "bf16"
+                    else:
+                        self.search_qdtype_override.pop(str(k), None)
                 elif int(v) > 0:  # legacy format: bare ef int
                     self.search_ef_override[str(k)] = int(v)
         except (OSError, ValueError, AttributeError, TypeError):
@@ -622,6 +631,13 @@ class Table:
                         r_nxt = bf16_recall(*nxt)
                         if r_nxt >= target_recall:
                             chosen, qd_recall = nxt, r_nxt
+                            # The operative config is now (nxt, bf16):
+                            # report ITS measured recall, not the stale
+                            # f32 figure of the rung no longer in effect.
+                            chosen_recall = r_nxt
+                            tried.append({"ef": nxt[0], "iters": nxt[1],
+                                          "recall": round(r_nxt, 4),
+                                          "qdtype": "bf16"})
                             self.search_ef_override[fname] = nxt[0]
                             if nxt[1]:
                                 self.search_iters_override[fname] = nxt[1]
@@ -751,10 +767,7 @@ class Table:
             s, real, dev = h
             packed = np.asarray(dev)  # [G, B, 2w] int32, one d2h transfer
             packed = packed.reshape(-1, packed.shape[-1])[:real]
-            d_h = packed[:, :out_w].view(np.float32)
-            ids_h = packed[:, out_w:]
-            ids_np = ids_h.astype(np.int64)
-            ids_np[~np.isfinite(d_h)] = -1
+            d_h, ids_np = beam_ops.unpack_wire(packed, out_w)
             ids_all[s:s + real] = ids_np
             d_all[s:s + real] = d_h
 
@@ -829,6 +842,8 @@ class Table:
         (VERDICT r3 #5). Candidates come back GLOBAL; the exact f32
         re-rank stays on the host mirror (the sharded store keeps no f32
         copy), identical to the per-batch sharded path."""
+        from .ops import beam as beam_ops
+
         seg = self.segment
         n = seg.record_number
         n_alive = int(np.count_nonzero(valid))
@@ -865,9 +880,7 @@ class Table:
             s, real, dev = h
             packed = np.asarray(dev)
             packed = packed.reshape(-1, packed.shape[-1])[:real]
-            d_h = packed[:, :k_cand].view(np.float32)
-            ids_np = packed[:, k_cand:].astype(np.int64)
-            ids_np[~np.isfinite(d_h)] = -1
+            _, ids_np = beam_ops.unpack_wire(packed, k_cand)
             cand_all[s:s + real] = ids_np
 
         inflight = []
@@ -890,15 +903,21 @@ class Table:
         for h in inflight:
             _drain(h)
         # Full-k guarantee (rare): top up under-filled rows via the exact
-        # sharded flat scan, like the per-batch path's collect.
+        # sharded flat scan, like the per-batch path's collect. Chunked at
+        # the kernel batch size: sharded_flat_query materializes a
+        # [B, cap_s] f32 distance block per shard, so one q_total-sized
+        # dispatch would allocate an HBM-scale buffer (and compile a
+        # one-off odd-B program) on large grouped runs.
         per_query_valid = (cand_all >= 0).sum(axis=1)
         if per_query_valid.min() < min(k_eff, n_alive):
             qp_all = np.zeros((q_total, dp), dtype=np.float32)
             qp_all[:, : queries.shape[1]] = queries
-            f_ids = sf.search(qp_all, valid, metric, k_cand,
-                              use_graph=False, beam_width=beam,
-                              expand=self.config.beam_expand,
-                              term_width=term, mask_version=ver)
+            f_ids = np.concatenate([
+                sf.search(qp_all[s:s + batch], valid, metric, k_cand,
+                          use_graph=False, beam_width=beam,
+                          expand=self.config.beam_expand,
+                          term_width=term, mask_version=ver)
+                for s in range(0, q_total, batch)], axis=0)
             cand_all = np.concatenate([cand_all, f_ids], axis=1)
         return self._rerank_candidates(field_name, queries, cand_all,
                                        metric, k_eff, q_total)
