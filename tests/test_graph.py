@@ -238,6 +238,64 @@ def test_beam_compaction_recall(tmp_path):
     assert run(64) >= base - 0.015, (run(64), base)
 
 
+def test_unrolled_traversal_matches_while_loop(monkeypatch):
+    """Traversal depths <= UNROLL_MAX_ITERS compile as straight-line code
+    with a per-step freeze (state is kept once the while_loop exit
+    predicate fails). That freeze must make the unrolled kernel
+    RESULT-IDENTICAL to the lax.while_loop it replaces — including the
+    visited history, and including queries that converge well before
+    max_iters (small term_width forces early convergence, which is
+    exactly the case where an unfrozen unroll would keep mutating the
+    beam past the while_loop's stopping point)."""
+    import jax.numpy as jnp
+
+    from vectordb_tpu.index.graph import GraphIndex
+    from vectordb_tpu.ops import beam
+    from vectordb_tpu.schema import FieldSchema, FieldType, TableSchema
+    from vectordb_tpu.segment import TableSegment
+
+    n, dim = 3000, 32
+    x = make_data(n, dim, seed=17)
+    schema = TableSchema(id=0, name="u", fields=[
+        FieldSchema(id=0, name="ID", is_primary_key=True,
+                    field_type=FieldType.INT4),
+        FieldSchema(id=1, name="V", field_type=FieldType.VECTOR_FLOAT,
+                    vector_dimension=dim,
+                    metric_type=MetricType.EUCLIDEAN)])
+    seg = TableSegment(schema, n)
+    seg.record_number = n
+    seg.dense_host["V"][:n] = x
+    seg.dense_norms["V"][:n] = (x ** 2).sum(1)
+    graph = GraphIndex.build(seg, "V", MetricType.EUCLIDEAN)
+
+    rng = np.random.default_rng(19)
+    q = x[rng.integers(0, n, 32)] + 0.01 * rng.normal(
+        size=(32, dim)).astype(np.float32)
+    qp = np.zeros((32, graph.table.shape[1]), np.float32)
+    qp[:, :dim] = q
+
+    def run(max_iters):
+        d, ids, vis = beam.beam_search_kernel(
+            jnp.asarray(qp), graph.table, graph.norms, graph.adjacency,
+            graph.rep_ids, int(MetricType.EUCLIDEAN), 32, 4, max_iters,
+            num_seeds=16, term_width=4, compact=64)
+        return np.asarray(d), np.asarray(ids), np.asarray(vis)
+
+    assert 12 <= beam.UNROLL_MAX_ITERS  # depth 12 takes the unrolled path
+    try:
+        d_u, ids_u, vis_u = run(12)
+        beam.beam_search_kernel.clear_cache()
+        monkeypatch.setattr(beam, "UNROLL_MAX_ITERS", -1)  # force while_loop
+        d_w, ids_w, vis_w = run(12)
+    finally:
+        # The jit cache now holds the while_loop trace under the same
+        # static key; clear it so later tests compile the default path.
+        beam.beam_search_kernel.clear_cache()
+    np.testing.assert_array_equal(ids_u, ids_w)
+    np.testing.assert_array_equal(vis_u, vis_w)
+    np.testing.assert_array_equal(d_u, d_w)
+
+
 def test_grouped_build_dispatch_matches_oracle(monkeypatch):
     """The grouped lax.scan build path (_build_batch_group) must produce a
     graph of the same quality as the per-batch path — exercised by
