@@ -153,6 +153,37 @@ def test_fused_gated_off_by_budget(tmp_path):
     assert hits / 320 >= 0.99
 
 
+def test_fused_deny_cache_keyed_by_mode_and_budget(tmp_path):
+    """A deny recorded under FusedTraversal="auto" with a tight budget must
+    NOT satisfy a later forced A/B call or a raised budget — without any
+    manual cache reset (the cache itself must key denials on
+    (forced, budget); built tables stay shared)."""
+    x, table = _mk(tmp_path, n=2500, seed=12)
+    graph = table.graphs["V"]
+    graph._fused_cache = {}
+    global_config.fused_traversal = "auto"
+    old_budget = global_config.fused_max_bytes
+    try:
+        global_config.fused_max_bytes = 0  # tight: auto denies
+        fused, scale = table._fused_view(graph)
+        assert fused is None and scale is None
+
+        # Forced A/B (mode "on") re-evaluates past the cached auto-deny.
+        global_config.fused_traversal = "on"
+        fused, scale = table._fused_view(graph)
+        assert fused is not None and float(scale) > 0
+
+        # And a raised budget under auto also re-evaluates — it then hits
+        # the table the forced call built (built tables are always valid).
+        global_config.fused_traversal = "auto"
+        global_config.fused_max_bytes = 1 << 40
+        fused2, _ = table._fused_view(graph)
+        assert fused2 is not None
+    finally:
+        global_config.fused_max_bytes = old_budget
+        global_config.fused_traversal = "auto"
+
+
 def test_fused_hbm_budget_from_config(tmp_path, monkeypatch):
     """When the backend reports no memory stats (the tunneled axon TPU
     returns None), the gates budget against DeviceHbmBytes minus the
