@@ -409,6 +409,39 @@ def test_sharded_fused_hbm_budget_from_config(tmp_path, monkeypatch):
          global_config.device_hbm_bytes) = old
 
 
+def test_sharded_fused_deny_reevaluated_at_higher_budget(tmp_path):
+    """A cached sharded-plane deny only holds for budgets <= the one it
+    was recorded at: a later call with a raised FusedMaxBytes (e.g. a
+    forced A/B) must re-evaluate, not inherit the deny — with no manual
+    cache reset."""
+    old = (global_config.fused_traversal, global_config.fused_max_bytes)
+    global_config.fused_traversal = "auto"
+    try:
+        rng = np.random.default_rng(14)
+        x = rng.normal(size=(3000, 32)).astype(np.float32)
+        _mk_table(tmp_path)
+        _insert("t", x)
+        assert vdb.rebuild() == 0
+        table = vdb._db.databases["sdb"].tables["t"]
+        sf = table.sharded_fields["V"]
+        sf.graph._fused_cache = None
+        host = table.segment.dense_host["V"]
+        assert sf.graph.fused_traversal(sf.store, host, 0) == (None, None)
+        # Same or lower budget: the deny is served from cache.
+        assert sf.graph.fused_traversal(sf.store, host, 0) == (None, None)
+        # Raised budget: re-evaluated, admits, builds the table.
+        fused, scale = sf.graph.fused_traversal(sf.store, host, 1 << 40)
+        assert fused is not None and float(scale) > 0
+        # Built tables are immutable: a later tight budget keeps serving
+        # the existing table (it is already resident; denying would only
+        # drop the pointer, not the memory).
+        fused2, _ = sf.graph.fused_traversal(sf.store, host, 0)
+        assert fused2 is not None
+    finally:
+        (global_config.fused_traversal,
+         global_config.fused_max_bytes) = old
+
+
 def test_sharded_fused_with_tail_and_filter(tmp_path):
     """Fused traversal + post-build tail rows + device filter compose."""
     old = global_config.fused_traversal
