@@ -76,9 +76,33 @@ def main():
         log(f"dataset {dataset}: {n}x{dim}, {n_queries} queries, "
             f"gt={'published' if gt_published is not None else 'computed'}")
     else:
-        t0 = time.time()
-        x, queries = make_clustered(n, dim, n_queries)
-        log(f"data gen {n}x{dim}: {time.time() - t0:.1f}s")
+        # Optional raw-data cache (SCALE_DATA=<path.npz>): the synthetic
+        # generator is deterministic but takes ~8.5 min at 16M x 96 on
+        # this 1-core host, and backend crashes mid-build force full
+        # retries (r4: the 16M run was killed three times by TPU worker
+        # crashes). Validated by n/dim so a stale cache cannot load.
+        data_cache = os.environ.get("SCALE_DATA", "")
+        x = None
+        if data_cache and os.path.exists(data_cache):
+            try:
+                with np.load(data_cache, allow_pickle=False) as z:
+                    if (int(z["n"]) == n and int(z["dim"]) == dim
+                            and int(z["nq"]) == n_queries):
+                        x, queries = z["x"], z["queries"]
+                        log(f"data cache hit: {data_cache}")
+                    else:
+                        log("data cache shape mismatch; regenerating")
+            except Exception as e:
+                log(f"data cache unreadable ({e}); regenerating")
+        if x is None:
+            t0 = time.time()
+            x, queries = make_clustered(n, dim, n_queries)
+            log(f"data gen {n}x{dim}: {time.time() - t0:.1f}s")
+            if data_cache:
+                with open(data_cache, "wb") as f:
+                    np.savez(f, x=x, queries=queries, n=n, dim=dim,
+                             nq=n_queries)
+                log(f"data cached: {data_cache}")
     seg, _ = make_bench_segment(n, dim, x)
 
     if os.environ.get("SCALE_GT_ONLY", ""):

@@ -206,3 +206,28 @@ def test_dispatch_ahead_depths_equivalent(tmp_path):
             np.testing.assert_allclose(d, outs[0][1], rtol=0, atol=0)
     finally:
         global_config.dispatch_ahead = old
+
+
+def test_upload_threads_equivalent(tmp_path):
+    """UploadThreads only changes WHICH thread issues the h2d puts (so
+    their relay handshakes pipeline); padding, dispatch order, and
+    results are bit-identical to the inline path."""
+    x, table = _mk(tmp_path, n=3000, seed=7)
+    rng = np.random.default_rng(8)
+    queries = x[rng.integers(0, len(x), 520)]
+    valid = table.segment.valid_mask()
+    from vectordb_tpu.schema import MetricType
+    old = global_config.upload_threads
+    try:
+        global_config.query_group_size = 2
+        outs = []
+        for n_up in (0, 2, 4):
+            global_config.upload_threads = n_up
+            outs.append(table.grouped_dense_search(
+                "V", queries, valid, MetricType.EUCLIDEAN, 5, batch=64,
+                mask_cacheable=True))
+        for ids, d in outs[1:]:
+            np.testing.assert_array_equal(ids, outs[0][0])
+            np.testing.assert_allclose(d, outs[0][1], rtol=0, atol=0)
+    finally:
+        global_config.upload_threads = old

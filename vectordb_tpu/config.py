@@ -107,6 +107,17 @@ class Config:
         # chunk i+1's query upload and chunk i-1's result fetch overlap
         # chunk i's kernel. Bounds device-side query/result buffers.
         self.dispatch_ahead = 2
+        # Query uploads issued from this many background threads (0 =
+        # inline enqueue on the dispatch thread). The tunneled relay
+        # SERIALIZES h2d transfers issued from one thread at ~33 ms
+        # handshake + bytes per put (benchmarks/put_micro.py: bursting N
+        # async puts costs N x 46 ms; a pytree put pays per leaf), but
+        # puts issued from separate threads pipeline the handshakes:
+        # measured 46 -> 34 ms/MB-put at 2 threads, 28.5 at 4. The
+        # super-chunk query upload is the measured wall of the grouped
+        # path at 100k (R4i), so overlapping uploads is worth ~25 ms per
+        # 2-chunk pass.
+        self.upload_threads = 2
         # Fused int8 traversal ("off" | "auto" | "on"): inline each node's
         # traversal neighbors' int8-quantized vectors with its adjacency
         # row so one beam iteration gathers [B*expand] fused rows instead
@@ -217,6 +228,8 @@ class Config:
                            lambda v: 1 <= v <= 64, False),
         "DispatchAhead": ("dispatch_ahead", int,
                           lambda v: 1 <= v <= 16, False),
+        "UploadThreads": ("upload_threads", int,
+                          lambda v: 0 <= v <= 8, False),
         "FusedTraversal": ("fused_traversal", str,
                            lambda v: v in ("auto", "on", "off"), False),
         "FusedMaxBytes": ("fused_max_bytes", int,
@@ -292,6 +305,7 @@ class Config:
             "DeviceRerankMaxBytes": self.device_rerank_max_bytes,
             "QueryGroupSize": self.query_group_size,
             "DispatchAhead": self.dispatch_ahead,
+            "UploadThreads": self.upload_threads,
             "FusedTraversal": self.fused_traversal,
             "FusedMaxBytes": self.fused_max_bytes,
             "DeviceHbmBytes": self.device_hbm_bytes,

@@ -63,6 +63,29 @@ class _FilterCtx:
         self.device = device
 
 
+# Shared query-upload pool (UploadThreads config). The tunneled relay
+# serializes h2d transfers issued from one thread (~46 ms per 1 MB put:
+# handshake + bytes, benchmarks/put_micro.py) but pipelines transfers
+# issued from DIFFERENT threads (34 ms/put at 2 threads, 28.5 at 4) —
+# the issuing thread is what matters, even though the put call itself
+# returns in ~2 ms. One process-wide pool: uploads from concurrent
+# searches share the same relay either way.
+_upload_pool = None
+_upload_pool_size = 0
+_upload_pool_lock = threading.Lock()
+
+
+def _get_upload_pool(n: int):
+    global _upload_pool, _upload_pool_size
+    with _upload_pool_lock:
+        if _upload_pool is None or _upload_pool_size < n:
+            from concurrent.futures import ThreadPoolExecutor
+            _upload_pool = ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="vdb-upload")
+            _upload_pool_size = n
+        return _upload_pool
+
+
 def _bucket_batch(b: int) -> int:
     for s in BATCH_BUCKETS:
         if b <= s:
@@ -792,8 +815,7 @@ class Table:
                     == "bf16")):
             import jax.numpy as _jnp
             q_dtype = _jnp.bfloat16
-        inflight = []
-        for s in range(0, q_total, super_chunk):
+        def _upload(s):
             qc = queries[s:s + super_chunk]
             g = -(-qc.shape[0] // batch)
             qp = np.zeros((g * batch, store.dim_padded), dtype=np.float32)
@@ -802,16 +824,40 @@ class Table:
                 qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
             qg = jnp.asarray(qp.reshape(g, batch, store.dim_padded),
                              dtype=q_dtype)
+            return s, qc.shape[0], qg
+
+        def _dispatch(up):
+            s, real, qg = up
             dev = beam_ops.beam_search_grouped(
                 qg, graph.table, graph.norms, adj, graph.rep_ids, dm, tf32,
                 int(metric), int(bw), int(self.config.beam_expand),
                 int(max_iters), 32, term, int(k_cand), int(k_eff),
                 0 if fused is not None else int(self.config.beam_compact),
                 fused=fused, scale=fscale, pack_out=True)
-            inflight.append((s, qc.shape[0], dev))
-            if len(inflight) > max(1, int(getattr(
-                    self.config, "dispatch_ahead", 2))):
+            inflight.append((s, real, dev))
+            if len(inflight) > ahead:
                 _drain(inflight.pop(0))
+
+        inflight = []
+        ahead = max(1, int(getattr(self.config, "dispatch_ahead", 2)))
+        starts = list(range(0, q_total, super_chunk))
+        n_up = int(getattr(self.config, "upload_threads", 0))
+        if n_up > 0 and len(starts) > 1:
+            # Threaded uploads: keep up to `ahead`+1 chunk uploads in
+            # flight on worker threads so their relay handshakes pipeline
+            # (see _get_upload_pool). Dispatch order stays sequential.
+            pool = _get_upload_pool(min(n_up, len(starts)))
+            futs = [pool.submit(_upload, s) for s in starts[:ahead + 1]]
+            nxt = ahead + 1
+            while futs:
+                up = futs.pop(0).result()
+                if nxt < len(starts):
+                    futs.append(pool.submit(_upload, starts[nxt]))
+                    nxt += 1
+                _dispatch(up)
+        else:
+            for s in starts:
+                _dispatch(_upload(s))
         for h in inflight:
             _drain(h)
         if tf32 is None:
