@@ -125,7 +125,7 @@ def _cover_rep_ids(table, n: int, s: int, nav: int = -1) -> np.ndarray:
     blk = min(8192, table.shape[0])
     while table.shape[0] % blk:
         blk //= 2
-    a1, _ = _assign_all(table, centroids, n, blk)
+    a1 = _assign_all(table, centroids, n, blk)
     a1 = np.asarray(a1)[:n]
     uniq, first = np.unique(a1, return_index=True)
     first = first.astype(np.int32)

@@ -80,7 +80,16 @@ def _kmeans_iters(table, norms, centroids, n_valid, block: int,
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def _assign_all(table, centroids, n_valid, block: int):
-    """Top-2 nearest centroids per row: [N_pad] primary, [N_pad] second."""
+    """Nearest centroid per row: [N_pad] int32.
+
+    argmax instead of lax.top_k on purpose: top_k(score[8192, C], 2)
+    CRASHES the TPU worker ("kernel fault") once C grows past ~4096
+    columns — reproduced deterministically at 16M x 96 with the
+    N-scaled centroid budget (C=6784), three runs at the exact same
+    site, while the argmax form over identical shapes completes (and
+    r3's C=4096 top_k build succeeded). Both callers only ever used the
+    primary assignment, so the top-2 output was dead weight anyway.
+    """
     n_pad, d = table.shape
     n_blocks = n_pad // block
     cn = jnp.sum(centroids * centroids, axis=1)
@@ -92,12 +101,11 @@ def _assign_all(table, centroids, n_valid, block: int):
             x, centroids, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         score = ip - 0.5 * cn[None, :]
-        _, top2 = jax.lax.top_k(score, 2)
-        return None, (top2[:, 0], top2[:, 1])
+        return None, jnp.argmax(score, axis=1).astype(jnp.int32)
 
-    _, (a1, a2) = jax.lax.scan(body, None,
-                               jnp.arange(n_blocks, dtype=jnp.int32))
-    return a1.reshape(-1), a2.reshape(-1)
+    _, a1 = jax.lax.scan(body, None,
+                         jnp.arange(n_blocks, dtype=jnp.int32))
+    return a1.reshape(-1)
 
 
 @functools.partial(
@@ -229,7 +237,7 @@ def ivf_knn(table, norms, n: int, k: int, metric: MetricType,
                               1024, kmeans_iters)
 
     # 2. Assignment of ALL rows (top-1; tiles absorb skew exactly).
-    a1, _ = _assign_all(table, centroids, n, blk)
+    a1 = _assign_all(table, centroids, n, blk)
     from ..utils import fetch_to_host
     a1 = fetch_to_host(a1)[:n]  # [N_pad] int32 is 40 MB at 10M — chunk d2h
     t_km = _time.perf_counter()

@@ -929,23 +929,48 @@ class Table:
             _, ids_np = beam_ops.unpack_wire(packed, k_cand)
             cand_all[s:s + real] = ids_np
 
-        inflight = []
-        for s in range(0, q_total, super_chunk):
+        def _upload(s):
+            import jax.numpy as jnp
             qc = queries[s:s + super_chunk]
             g = -(-qc.shape[0] // batch)
             qp = np.zeros((g * batch, dp), dtype=np.float32)
             qp[: qc.shape[0], : qc.shape[1]] = qc
             if qc.shape[0] < g * batch:
                 qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
+            # Uncommitted device put: launch_grouped's jnp.asarray is a
+            # no-op on it, and pjit/shard_map reshards freely.
+            return s, qc.shape[0], jnp.asarray(qp.reshape(g, batch, dp))
+
+        def _dispatch(up):
+            s, real, qg = up
             dev = sf.launch_grouped(
-                qp.reshape(g, batch, dp), valid, metric, k_cand,
+                qg, valid, metric, k_cand,
                 beam_width=beam, expand=self.config.beam_expand,
                 term_width=term, mask_version=ver, compact=compact,
                 fused=fused, iters=0 if it >= beam else it)
-            inflight.append((s, qc.shape[0], dev))
-            if len(inflight) > max(1, int(getattr(
-                    self.config, "dispatch_ahead", 2))):
+            inflight.append((s, real, dev))
+            if len(inflight) > ahead:
                 _drain(inflight.pop(0))
+
+        inflight = []
+        ahead = max(1, int(getattr(self.config, "dispatch_ahead", 2)))
+        starts = list(range(0, q_total, super_chunk))
+        n_up = int(getattr(self.config, "upload_threads", 0))
+        if n_up > 0 and len(starts) > 1:
+            # Threaded uploads (see _get_upload_pool): relay h2d
+            # handshakes pipeline across issuing threads.
+            pool = _get_upload_pool(min(n_up, len(starts)))
+            futs = [pool.submit(_upload, s) for s in starts[:ahead + 1]]
+            nxt = ahead + 1
+            while futs:
+                up = futs.pop(0).result()
+                if nxt < len(starts):
+                    futs.append(pool.submit(_upload, starts[nxt]))
+                    nxt += 1
+                _dispatch(up)
+        else:
+            for s in starts:
+                _dispatch(_upload(s))
         for h in inflight:
             _drain(h)
         # Full-k guarantee (rare): top up under-filled rows via the exact
