@@ -231,3 +231,28 @@ def test_upload_threads_equivalent(tmp_path):
             np.testing.assert_allclose(d, outs[0][1], rtol=0, atol=0)
     finally:
         global_config.upload_threads = old
+
+
+def test_drain_threads_equivalent(tmp_path):
+    """DrainThreads only changes WHICH thread fetches + unpacks each
+    super-chunk's packed result (drains write disjoint output slices);
+    results are bit-identical to the inline drain path."""
+    x, table = _mk(tmp_path, n=3000, seed=9)
+    rng = np.random.default_rng(10)
+    queries = x[rng.integers(0, len(x), 520)]
+    valid = table.segment.valid_mask()
+    from vectordb_tpu.schema import MetricType
+    old = global_config.drain_threads
+    try:
+        global_config.query_group_size = 2
+        outs = []
+        for n_dr in (0, 2, 4):
+            global_config.drain_threads = n_dr
+            outs.append(table.grouped_dense_search(
+                "V", queries, valid, MetricType.EUCLIDEAN, 5, batch=64,
+                mask_cacheable=True))
+        for ids, d in outs[1:]:
+            np.testing.assert_array_equal(ids, outs[0][0])
+            np.testing.assert_allclose(d, outs[0][1], rtol=0, atol=0)
+    finally:
+        global_config.drain_threads = old

@@ -567,3 +567,33 @@ def test_sharded_grouped_upload_threads_equivalent(tmp_path):
     finally:
         global_config.upload_threads = old_up
         global_config.query_group_size = old_g
+
+
+def test_sharded_grouped_drain_threads_equivalent(tmp_path):
+    """Sharded grouped path: threaded result drains (DrainThreads) are
+    bit-identical to inline drains (disjoint output slices per chunk)."""
+    from vectordb_tpu.schema import MetricType
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(3000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    assert vdb.rebuild() == 0
+    table = vdb._db.databases["sdb"].tables["t"]
+    queries = x[rng.integers(0, len(x), 520)]
+    valid = table.segment.valid_mask()
+    old_dr = global_config.drain_threads
+    old_g = global_config.query_group_size
+    try:
+        global_config.query_group_size = 2
+        outs = []
+        for n_dr in (0, 2):
+            global_config.drain_threads = n_dr
+            outs.append(table.grouped_dense_search(
+                "V", queries, valid, MetricType.EUCLIDEAN, 5, batch=64,
+                mask_cacheable=True))
+        np.testing.assert_array_equal(outs[1][0], outs[0][0])
+        np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=0, atol=0)
+    finally:
+        global_config.drain_threads = old_dr
+        global_config.query_group_size = old_g

@@ -118,6 +118,14 @@ class Config:
         # path at 100k (R4i), so overlapping uploads is worth ~25 ms per
         # 2-chunk pass.
         self.upload_threads = 2
+        # Result drains (the packed-int32 d2h fetch per super-chunk)
+        # issued from this many background threads (0 = inline on the
+        # dispatch thread). d2h transfers serialize within one issuing
+        # thread exactly like puts (~27-30 ms handshake per fetch,
+        # benchmarks/fetch_micro.py) and pipeline across threads; the
+        # 2-super-chunk bench pass otherwise ends with two back-to-back
+        # blocking drains on the dispatch thread.
+        self.drain_threads = 2
         # Fused int8 traversal ("off" | "auto" | "on"): inline each node's
         # traversal neighbors' int8-quantized vectors with its adjacency
         # row so one beam iteration gathers [B*expand] fused rows instead
@@ -230,6 +238,8 @@ class Config:
                           lambda v: 1 <= v <= 16, False),
         "UploadThreads": ("upload_threads", int,
                           lambda v: 0 <= v <= 8, False),
+        "DrainThreads": ("drain_threads", int,
+                         lambda v: 0 <= v <= 8, False),
         "FusedTraversal": ("fused_traversal", str,
                            lambda v: v in ("auto", "on", "off"), False),
         "FusedMaxBytes": ("fused_max_bytes", int,
@@ -306,6 +316,7 @@ class Config:
             "QueryGroupSize": self.query_group_size,
             "DispatchAhead": self.dispatch_ahead,
             "UploadThreads": self.upload_threads,
+            "DrainThreads": self.drain_threads,
             "FusedTraversal": self.fused_traversal,
             "FusedMaxBytes": self.fused_max_bytes,
             "DeviceHbmBytes": self.device_hbm_bytes,

@@ -86,6 +86,76 @@ def _get_upload_pool(n: int):
         return _upload_pool
 
 
+# Result-drain pool (DrainThreads config): d2h fetches serialize within
+# one issuing thread exactly like puts (benchmarks/fetch_micro.py) and
+# pipeline across threads. A SEPARATE pool from uploads — a fetch queued
+# behind a put on the same worker would serialize the two directions the
+# relay can otherwise run concurrently.
+_drain_pool = None
+_drain_pool_size = 0
+_drain_pool_lock = threading.Lock()
+
+
+def _get_drain_pool(n: int):
+    global _drain_pool, _drain_pool_size
+    with _drain_pool_lock:
+        if _drain_pool is None or _drain_pool_size < n:
+            from concurrent.futures import ThreadPoolExecutor
+            _drain_pool = ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="vdb-drain")
+            _drain_pool_size = n
+        return _drain_pool
+
+
+def _pump_super_chunks(config, starts, upload, launch, drain):
+    """Drive a grouped dispatch pipeline over super-chunk `starts`:
+    `upload(s)` builds + puts the chunk's queries (runs on UploadThreads
+    workers so the relay h2d handshakes pipeline), `launch(up)` dispatches
+    the device program in order on the caller thread and returns a drain
+    handle, `drain(h)` fetches + unpacks results into caller-owned arrays
+    (disjoint slices per chunk, so DrainThreads workers can run them
+    concurrently — d2h handshakes serialize per issuing thread just like
+    puts, benchmarks/fetch_micro.py). At most DispatchAhead handles stay
+    undrained so device result buffers stay bounded. Worker exceptions
+    propagate via .result()."""
+    inflight = []
+    drain_futs = []
+    ahead = max(1, int(getattr(config, "dispatch_ahead", 2)))
+    n_dr = int(getattr(config, "drain_threads", 0))
+    dpool = (_get_drain_pool(min(n_dr, len(starts)))
+             if n_dr > 0 and len(starts) > 1 else None)
+
+    def hand_off(h):
+        if dpool is not None:
+            drain_futs.append(dpool.submit(drain, h))
+        else:
+            drain(h)
+
+    def dispatch(up):
+        inflight.append(launch(up))
+        if len(inflight) > ahead:
+            hand_off(inflight.pop(0))
+
+    n_up = int(getattr(config, "upload_threads", 0))
+    if n_up > 0 and len(starts) > 1:
+        pool = _get_upload_pool(min(n_up, len(starts)))
+        futs = [pool.submit(upload, s) for s in starts[:ahead + 1]]
+        nxt = ahead + 1
+        while futs:
+            up = futs.pop(0).result()
+            if nxt < len(starts):
+                futs.append(pool.submit(upload, starts[nxt]))
+                nxt += 1
+            dispatch(up)
+    else:
+        for s in starts:
+            dispatch(upload(s))
+    for h in inflight:
+        hand_off(h)
+    for f in drain_futs:
+        f.result()
+
+
 def _bucket_batch(b: int) -> int:
     for s in BATCH_BUCKETS:
         if b <= s:
@@ -826,7 +896,7 @@ class Table:
                              dtype=q_dtype)
             return s, qc.shape[0], qg
 
-        def _dispatch(up):
+        def _launch(up):
             s, real, qg = up
             dev = beam_ops.beam_search_grouped(
                 qg, graph.table, graph.norms, adj, graph.rep_ids, dm, tf32,
@@ -834,32 +904,11 @@ class Table:
                 int(max_iters), 32, term, int(k_cand), int(k_eff),
                 0 if fused is not None else int(self.config.beam_compact),
                 fused=fused, scale=fscale, pack_out=True)
-            inflight.append((s, real, dev))
-            if len(inflight) > ahead:
-                _drain(inflight.pop(0))
+            return s, real, dev
 
-        inflight = []
-        ahead = max(1, int(getattr(self.config, "dispatch_ahead", 2)))
-        starts = list(range(0, q_total, super_chunk))
-        n_up = int(getattr(self.config, "upload_threads", 0))
-        if n_up > 0 and len(starts) > 1:
-            # Threaded uploads: keep up to `ahead`+1 chunk uploads in
-            # flight on worker threads so their relay handshakes pipeline
-            # (see _get_upload_pool). Dispatch order stays sequential.
-            pool = _get_upload_pool(min(n_up, len(starts)))
-            futs = [pool.submit(_upload, s) for s in starts[:ahead + 1]]
-            nxt = ahead + 1
-            while futs:
-                up = futs.pop(0).result()
-                if nxt < len(starts):
-                    futs.append(pool.submit(_upload, starts[nxt]))
-                    nxt += 1
-                _dispatch(up)
-        else:
-            for s in starts:
-                _dispatch(_upload(s))
-        for h in inflight:
-            _drain(h)
+        _pump_super_chunks(self.config,
+                           list(range(0, q_total, super_chunk)),
+                           _upload, _launch, _drain)
         if tf32 is None:
             # No f32 view on device (HBM guardrail / config off): exact
             # re-rank of the approx candidates on the host mirror.
@@ -941,38 +990,18 @@ class Table:
             # no-op on it, and pjit/shard_map reshards freely.
             return s, qc.shape[0], jnp.asarray(qp.reshape(g, batch, dp))
 
-        def _dispatch(up):
+        def _launch(up):
             s, real, qg = up
             dev = sf.launch_grouped(
                 qg, valid, metric, k_cand,
                 beam_width=beam, expand=self.config.beam_expand,
                 term_width=term, mask_version=ver, compact=compact,
                 fused=fused, iters=0 if it >= beam else it)
-            inflight.append((s, real, dev))
-            if len(inflight) > ahead:
-                _drain(inflight.pop(0))
+            return s, real, dev
 
-        inflight = []
-        ahead = max(1, int(getattr(self.config, "dispatch_ahead", 2)))
-        starts = list(range(0, q_total, super_chunk))
-        n_up = int(getattr(self.config, "upload_threads", 0))
-        if n_up > 0 and len(starts) > 1:
-            # Threaded uploads (see _get_upload_pool): relay h2d
-            # handshakes pipeline across issuing threads.
-            pool = _get_upload_pool(min(n_up, len(starts)))
-            futs = [pool.submit(_upload, s) for s in starts[:ahead + 1]]
-            nxt = ahead + 1
-            while futs:
-                up = futs.pop(0).result()
-                if nxt < len(starts):
-                    futs.append(pool.submit(_upload, starts[nxt]))
-                    nxt += 1
-                _dispatch(up)
-        else:
-            for s in starts:
-                _dispatch(_upload(s))
-        for h in inflight:
-            _drain(h)
+        _pump_super_chunks(self.config,
+                           list(range(0, q_total, super_chunk)),
+                           _upload, _launch, _drain)
         # Full-k guarantee (rare): top up under-filled rows via the exact
         # sharded flat scan, like the per-batch path's collect. Chunked at
         # the kernel batch size: sharded_flat_query materializes a
