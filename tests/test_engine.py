@@ -460,9 +460,19 @@ def test_tuned_sidecar_roundtrip_and_legacy(tmp_path):
     table = vdb._db.databases["tdb"].tables["t"]
     report = table.tune_search_ef(target_recall=0.9, sample=16, k=5)
     assert "V" in report and "iters" in report["V"]
+    # OOD-robust tuning (r5): the tuned config's recall is measured on
+    # self-queries AND noise-perturbed queries; a rung is accepted only
+    # when both meet the target, and both figures are reported and
+    # persisted for observability.
+    assert 0.0 <= report["V"]["ood_recall"] <= 1.0
+    assert 0.0 <= report["V"]["id_recall"] <= 1.0
+    assert min(report["V"]["id_recall"],
+               report["V"]["ood_recall"]) == report["V"]["recall"]
+    assert all("ood_recall" in t for t in report["V"]["tried"])
     with open(table._tuned_ef_path()) as f:
         data = _json.load(f)
     assert data["V"]["ef"] == report["V"]["ef"]
+    assert data["V"]["ood_recall"] == report["V"]["ood_recall"]
     vdb.unload_db("tdb")
 
     # Reload applies the sidecar; then a legacy int-format file too.

@@ -15,26 +15,19 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
-import subprocess
 from typing import Any
 
+from ._native_build import ensure_built
 from .logger import logger
-
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "vdb_fastjson.so")
 
 _native_dumps = None
 if os.environ.get("VECTORDB_TPU_NATIVE", "").lower() != "off":
     try:
-        src = os.path.join(_NATIVE_DIR, "vdbjson.c")
-        if (not os.path.exists(_SO_PATH)
-                or (os.path.exists(src)
-                    and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))):
-            subprocess.run(["make", "-C", _NATIVE_DIR, "vdb_fastjson.so"],
-                           capture_output=True, timeout=120)
-        spec = importlib.util.spec_from_file_location(
-            "vdb_fastjson", _SO_PATH)
+        # Content-hash-keyed build (never a committed binary, never an
+        # mtime race after a fresh clone) — see _native_build.ensure_built.
+        _so = ensure_built("vdb_fastjson.so", ["vdbjson.c"])
+        spec = (importlib.util.spec_from_file_location("vdb_fastjson", _so)
+                if _so else None)
         if spec and spec.loader:
             _mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(_mod)
@@ -50,6 +43,10 @@ def dumps_bytes(obj: Any) -> bytes:
     if _native_dumps is not None:
         try:
             return _native_dumps(obj)
-        except TypeError:  # non-JSON-native type (e.g. numpy scalar)
+        except (TypeError, ValueError):
+            # TypeError: non-JSON-native type (e.g. numpy scalar).
+            # ValueError: the C encoder's depth cap (200) is tighter than
+            # json.dumps' (~1000); deep-but-valid payloads must still
+            # serialize through the fallback, not fail the request.
             pass
     return json.dumps(obj).encode("utf-8")

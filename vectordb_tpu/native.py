@@ -9,19 +9,15 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import List, Optional
 
+from ._native_build import ensure_built
 from .logger import logger
 
 _lock = threading.Lock()
 _native = None
 _tried = False
-
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libvdbnative.so")
 
 
 class Native:
@@ -103,20 +99,6 @@ class Native:
             queue.ctypes.data_as(ctypes.c_void_p)))
 
 
-def _build() -> bool:
-    try:
-        proc = subprocess.run(["make", "-C", _NATIVE_DIR],
-                              capture_output=True, timeout=120)
-        if proc.returncode != 0:
-            logger.debug("native build failed: "
-                         + proc.stderr.decode(errors="replace")[-500:])
-            return False
-        return True
-    except (OSError, subprocess.TimeoutExpired) as e:
-        logger.debug(f"native build unavailable: {e}")
-        return False
-
-
 def get_native() -> Optional[Native]:
     """The loaded native runtime, or None (pure-Python fallbacks apply)."""
     global _native, _tried
@@ -128,14 +110,13 @@ def get_native() -> Optional[Native]:
         _tried = True
         if os.environ.get("VECTORDB_TPU_NATIVE", "").lower() == "off":
             return None
-        src = os.path.join(_NATIVE_DIR, "vdbnative.cpp")
-        needs_build = (not os.path.exists(_LIB_PATH)
-                       or (os.path.exists(src) and os.path.getmtime(src)
-                           > os.path.getmtime(_LIB_PATH)))
-        if needs_build and not _build():
+        # Content-hash-keyed build (see _native_build.ensure_built): no
+        # committed binary, no mtime race after a fresh clone.
+        lib_path = ensure_built("libvdbnative.so", ["vdbnative.cpp"])
+        if lib_path is None:
             return None
         try:
-            _native = Native(ctypes.CDLL(_LIB_PATH))
+            _native = Native(ctypes.CDLL(lib_path))
             logger.debug("native IO runtime loaded")
         except OSError as e:
             logger.debug(f"native library load failed: {e}")

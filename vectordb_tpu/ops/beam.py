@@ -417,8 +417,12 @@ def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
 
     # unroll: the backend's ~1.5 ms/step lax.scan floor (iter_micro.py)
     # would otherwise tax every grouped batch; G is small and static.
+    # Capped at 8 — QueryGroupSize is allowed up to 64 and a fully
+    # unrolled G=64 x 16-iteration traversal multiplies program size
+    # ~1000x (XLA compile blowup); at G>8 the residual scan floor is
+    # already amortized 8 ways per step.
     _, (ds, ids) = jax.lax.scan(step, jnp.int32(0), queries_g,
-                                unroll=True)
+                                unroll=min(int(queries_g.shape[0]), 8))
     if pack_out:
         return jnp.concatenate(
             [jax.lax.bitcast_convert_type(ds, jnp.int32), ids], axis=-1)
