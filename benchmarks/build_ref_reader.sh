@@ -15,7 +15,8 @@ CXXFLAGS="-O1 -march=native -std=c++17 -fopenmp -w \
   -I$REPO/benchmarks/refshim -I$REF"
 
 SRCS=(
-  "$REPO/benchmarks/ref_reader_smoke.cpp"
+  "$REF/query/expr/expr.cpp"
+  "$REF/utils/atomic_counter.cpp"
   "$REF/db/table_segment_mvp.cpp"
   "$REF/db/ann_graph_segment.cpp"
   "$REF/query/expr/expr_evaluator.cpp"
@@ -34,7 +35,8 @@ SRCS=(
 )
 
 OBJS=()
-for src in "${SRCS[@]}"; do
+for src in "${SRCS[@]}" "$REPO/benchmarks/ref_reader_smoke.cpp" \
+           "$REPO/benchmarks/ref_wal_smoke.cpp"; do
   obj="$OUT/$(basename "$src" .cpp).o"
   if [ ! -f "$obj" ] || [ "$src" -nt "$obj" ]; then
     echo "CXX $(basename "$src")"
@@ -43,5 +45,11 @@ for src in "${SRCS[@]}"; do
   OBJS+=("$obj")
 done
 wait
-g++ $CXXFLAGS "${OBJS[@]}" -o "$OUT/ref_reader_smoke"
-echo "built $OUT/ref_reader_smoke"
+# Last two objects are the two smoke mains; shared reference objects first.
+N=${#OBJS[@]}
+LIBOBJS=("${OBJS[@]:0:N-2}")
+g++ $CXXFLAGS "${LIBOBJS[@]}" "$OUT/ref_reader_smoke.o" \
+  -o "$OUT/ref_reader_smoke"
+g++ $CXXFLAGS "${LIBOBJS[@]}" "$OUT/ref_wal_smoke.o" \
+  -o "$OUT/ref_wal_smoke"
+echo "built $OUT/ref_reader_smoke + $OUT/ref_wal_smoke"

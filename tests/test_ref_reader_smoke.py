@@ -71,3 +71,65 @@ def test_reference_cpp_readers_accept_export(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "ref_reader_smoke OK" in r.stdout
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not present")
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_reference_wal_replay_accepts_our_text_wal(tmp_path):
+    """A text WAL written by THIS engine (WalTextFormat=true: insert,
+    upsert, delete-with-pk-list, delete-with-filter) replays through the
+    reference's compiled WriteAheadLog::Replay into a fresh
+    TableSegmentMVP bit-for-bit (VERDICT r4 next #9)."""
+    from vectordb_tpu.config import global_config
+
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "benchmarks", "build_ref_reader.sh"),
+         BUILD_DIR], capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    smoke = os.path.join(BUILD_DIR, "ref_wal_smoke")
+
+    n, dim = 120, 8
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    d = str(tmp_path / "waldb")
+    ok, _ = global_config.update({"WalTextFormat": True})
+    assert ok
+    try:
+        vdb.load_db("waldb", d)
+        vdb.use_db("waldb")
+        vdb.create_table("t", [
+            {"name": "ID", "dataType": "BIGINT", "primaryKey": True},
+            {"name": "V", "dataType": "VECTOR_FLOAT", "dimensions": dim,
+             "metricType": "EUCLIDEAN"}])
+        vdb.insert("t", [{"ID": i, "V": x[i].tolist()} for i in range(n)])
+        # Upsert rewrites row 7's vector in place.
+        x[7] = rng.normal(size=dim).astype(np.float32)
+        vdb.insert("t", [{"ID": 7, "V": x[7].tolist()}], upsert=True)
+        # Two delete shapes: pk list, and pk-list+filter (both WAL forms).
+        vdb.delete_by_pk("t", [3, 11])
+        vdb.delete("t", [], "ID = 99")
+        table = vdb._db.databases["waldb"].tables["t"]
+        table_id = table.schema.id
+        seg = table.segment
+        # Both engines append on upsert and tombstone the old row, so the
+        # replayed layout must equal OUR segment's: n rows (121: the
+        # upsert appended), deleted = {old row 7, pk-deletes, filter-del}.
+        n_rows = int(seg.record_number)
+        assert n_rows == n + 1
+        deleted_rows = np.nonzero(~seg.valid_mask()[:n_rows])[0]
+        assert set(deleted_rows.tolist()) == {3, 7, 11, 99}
+        vec_path = str(tmp_path / "vecs.f32")
+        np.ascontiguousarray(seg.dense_host["V"][:n_rows],
+                             dtype=np.float32).tofile(vec_path)
+        pk_path = str(tmp_path / "pks.i64")
+        np.ascontiguousarray(seg.primitive_cols["ID"][:n_rows],
+                             dtype=np.int64).tofile(pk_path)
+        vdb.unload_db("waldb")
+    finally:
+        global_config.update({"WalTextFormat": False})
+
+    r = subprocess.run(
+        [smoke, d, str(table_id), str(n_rows), str(dim), vec_path, pk_path]
+        + [str(r_) for r_ in deleted_rows],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ref_wal_smoke OK" in r.stdout
