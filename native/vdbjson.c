@@ -168,6 +168,171 @@ static int encode(Writer *w, PyObject *o, int depth) {
     return -1;
 }
 
+/* dumps_rows(names, kinds, cols, distances) -> bytes
+ *
+ * Columnar row-object encoder for the query hot path: emits the JSON
+ * array of row objects DIRECTLY from column buffers, skipping the
+ * per-row dict assembly in Table.project (measured ~0.3 ms per
+ * 10x128-d response) plus the generic dict walk above. The reference
+ * engine serializes from compiled C++ DTOs (web_controller.hpp) — this
+ * is the TPU engine's equivalent.
+ *
+ *   names:     sequence of str field names (JSON-escaped here)
+ *   kinds:     str, one char per field:
+ *                i = int64 buffer [m]      f = float64 buffer [m]
+ *                b = uint8/bool buffer [m] v = float32 buffer [m, d]
+ *                s = list of str/None      o = list of arbitrary objects
+ *   cols:      sequence of column objects matching kinds
+ *   distances: float64 buffer [m] appended as "@distance", or None
+ */
+static PyObject *fastjson_dumps_rows(PyObject *self, PyObject *args) {
+    (void)self;
+    PyObject *names, *kinds_o, *cols, *dists;
+    if (!PyArg_ParseTuple(args, "OOOO", &names, &kinds_o, &cols, &dists))
+        return NULL;
+    Py_ssize_t nf = PySequence_Size(names);
+    const char *kinds = PyUnicode_AsUTF8(kinds_o);
+    if (nf < 0 || !kinds || (Py_ssize_t)strlen(kinds) != nf
+        || PySequence_Size(cols) != nf) {
+        PyErr_SetString(PyExc_TypeError, "dumps_rows: bad arguments");
+        return NULL;
+    }
+
+    Py_buffer bufs[64];
+    PyObject *objs[64];
+    int have_buf[64];
+    Py_ssize_t m = -1;
+    Writer w = {NULL, 0, 0};
+    Py_buffer dbuf;
+    int have_dbuf = 0;
+    Py_ssize_t ngot = 0;
+    if (nf > 64) {
+        PyErr_SetString(PyExc_TypeError, "dumps_rows: too many fields");
+        return NULL;
+    }
+    for (Py_ssize_t j = 0; j < nf; j++) {
+        objs[j] = PySequence_GetItem(cols, j);  /* new ref */
+        if (!objs[j]) goto fail;
+        ngot = j + 1;
+        have_buf[j] = 0;
+        char k = kinds[j];
+        if (k == 'i' || k == 'f' || k == 'b' || k == 'v') {
+            if (PyObject_GetBuffer(objs[j], &bufs[j],
+                                   PyBUF_C_CONTIGUOUS | PyBUF_ND) < 0)
+                goto fail;
+            have_buf[j] = 1;
+            Py_ssize_t rows = bufs[j].ndim > 0 ? bufs[j].shape[0] : 0;
+            Py_ssize_t isz = (k == 'i' || k == 'f') ? 8
+                             : (k == 'b' ? 1 : 4);
+            if (bufs[j].itemsize != isz
+                || (k == 'v' ? bufs[j].ndim != 2 : bufs[j].ndim != 1)) {
+                PyErr_SetString(PyExc_TypeError,
+                                "dumps_rows: column buffer shape/itemsize");
+                goto fail;
+            }
+            if (m < 0) m = rows;
+            else if (rows != m) {
+                PyErr_SetString(PyExc_TypeError,
+                                "dumps_rows: ragged columns");
+                goto fail;
+            }
+        } else if (k == 's' || k == 'o') {
+            Py_ssize_t rows = PySequence_Size(objs[j]);
+            if (rows < 0) goto fail;
+            if (m < 0) m = rows;
+            else if (rows != m) {
+                PyErr_SetString(PyExc_TypeError,
+                                "dumps_rows: ragged columns");
+                goto fail;
+            }
+        } else {
+            PyErr_SetString(PyExc_TypeError, "dumps_rows: unknown kind");
+            goto fail;
+        }
+    }
+    if (m < 0) m = 0;
+    if (dists != Py_None) {
+        if (PyObject_GetBuffer(dists, &dbuf,
+                               PyBUF_C_CONTIGUOUS | PyBUF_ND) < 0)
+            goto fail;
+        have_dbuf = 1;
+        if (dbuf.itemsize != 8 || dbuf.ndim != 1 || dbuf.shape[0] < m) {
+            PyErr_SetString(PyExc_TypeError, "dumps_rows: bad distances");
+            goto fail;
+        }
+    }
+
+    if (w_putc(&w, '[') < 0) goto fail;
+    for (Py_ssize_t r = 0; r < m; r++) {
+        if (r && w_put(&w, ", ", 2) < 0) goto fail;
+        if (w_putc(&w, '{') < 0) goto fail;
+        for (Py_ssize_t j = 0; j < nf; j++) {
+            if (j && w_put(&w, ", ", 2) < 0) goto fail;
+            PyObject *nm = PySequence_GetItem(names, j);
+            if (!nm) goto fail;
+            int rc = write_str(&w, nm);
+            Py_DECREF(nm);
+            if (rc < 0 || w_put(&w, ": ", 2) < 0) goto fail;
+            char k = kinds[j];
+            if (k == 'i') {
+                char tmp[24];
+                long long v = ((int64_t *)bufs[j].buf)[r];
+                if (w_put(&w, tmp,
+                          snprintf(tmp, sizeof tmp, "%lld", v)) < 0)
+                    goto fail;
+            } else if (k == 'f') {
+                if (write_double(&w, ((double *)bufs[j].buf)[r]) < 0)
+                    goto fail;
+            } else if (k == 'b') {
+                uint8_t v = ((uint8_t *)bufs[j].buf)[r];
+                if (w_put(&w, v ? "true" : "false", v ? 4 : 5) < 0)
+                    goto fail;
+            } else if (k == 'v') {
+                Py_ssize_t d = bufs[j].shape[1];
+                const float *row = (const float *)bufs[j].buf + r * d;
+                if (w_putc(&w, '[') < 0) goto fail;
+                for (Py_ssize_t c = 0; c < d; c++) {
+                    if (c && w_put(&w, ", ", 2) < 0) goto fail;
+                    if (write_double(&w, (double)row[c]) < 0) goto fail;
+                }
+                if (w_putc(&w, ']') < 0) goto fail;
+            } else {  /* 's' or 'o' */
+                PyObject *v = PySequence_GetItem(objs[j], r);
+                if (!v) goto fail;
+                int rc2 = encode(&w, v, 0);
+                Py_DECREF(v);
+                if (rc2 < 0) goto fail;
+            }
+        }
+        if (have_dbuf) {
+            if (m > 0 && nf > 0 && w_put(&w, ", ", 2) < 0) goto fail;
+            if (w_put(&w, "\"@distance\": ", 13) < 0) goto fail;
+            if (write_double(&w, ((double *)dbuf.buf)[r]) < 0) goto fail;
+        }
+        if (w_putc(&w, '}') < 0) goto fail;
+    }
+    if (w_putc(&w, ']') < 0) goto fail;
+
+    {
+        PyObject *out = PyBytes_FromStringAndSize(w.buf, w.len);
+        PyMem_Free(w.buf);
+        for (Py_ssize_t j = 0; j < ngot; j++) {
+            if (have_buf[j]) PyBuffer_Release(&bufs[j]);
+            Py_DECREF(objs[j]);
+        }
+        if (have_dbuf) PyBuffer_Release(&dbuf);
+        return out;
+    }
+fail:
+    PyMem_Free(w.buf);
+    for (Py_ssize_t j = 0; j < ngot; j++) {
+        if (have_buf[j]) PyBuffer_Release(&bufs[j]);
+        Py_DECREF(objs[j]);
+    }
+    if (have_dbuf) PyBuffer_Release(&dbuf);
+    return NULL;
+}
+
 static PyObject *fastjson_dumps(PyObject *self, PyObject *arg) {
     (void)self;
     Writer w = {NULL, 0, 0};
@@ -183,6 +348,8 @@ static PyObject *fastjson_dumps(PyObject *self, PyObject *arg) {
 static PyMethodDef Methods[] = {
     {"dumps", fastjson_dumps, METH_O,
      "Encode a Python object tree to JSON bytes (ensure_ascii semantics)."},
+    {"dumps_rows", fastjson_dumps_rows, METH_VARARGS,
+     "Encode row objects directly from column buffers (query hot path)."},
     {NULL, NULL, 0, NULL},
 };
 

@@ -39,7 +39,13 @@ def rest(tmp_path):
 
 
 def call(rest, method, path, body=None):
-    return rest.dispatch(method, path, body, {})
+    code, payload = rest.dispatch(method, path, body, {})
+    if isinstance(payload, (bytes, bytearray)):
+        # Columnar hot path returns pre-encoded JSON; decode to what an
+        # HTTP client sees so assertions stay payload-shape-agnostic.
+        import json as _json
+        payload = _json.loads(payload)
+    return code, payload
 
 
 class TestEndpoints:
@@ -347,3 +353,78 @@ def test_export_reference_endpoint(rest, tmp_path):
     code, resp = call(rest, "POST", "/api/exportreference",
                       {"name": "nosuch"})
     assert code == 404
+
+
+def test_columnar_query_payload_matches_dict_rows(rest):
+    """The columnar hot-path bytes must decode to the same rows the
+    classic dict projection produces (floats compared at f32 precision —
+    the native encoder's documented %.9g wire behavior)."""
+    schema = {
+        "name": "mix",
+        "fields": [
+            {"name": "ID", "dataType": "INT", "primaryKey": True},
+            {"name": "Doc", "dataType": "STRING"},
+            {"name": "Score", "dataType": "DOUBLE"},
+            {"name": "Flag", "dataType": "BOOL"},
+            {"name": "Meta", "dataType": "JSON"},
+            {"name": "Embedding", "dataType": "VECTOR_FLOAT",
+             "dimensions": 4, "metricType": "EUCLIDEAN"},
+        ],
+    }
+    code, resp = call(rest, "POST", "/api/db1/schema/tables", schema)
+    assert code == 200, resp
+    records = [
+        {"ID": i, "Doc": f"doc-{i}" if i != 2 else 'q"uo\\te',
+         "Score": 0.1 * i, "Flag": i % 2 == 0,
+         "Meta": {"k": i, "tags": ["a", "b"]} if i != 3 else None,
+         "Embedding": [0.1 * i, 0.2, 0.3, 0.4 + 0.01 * i]}
+        for i in range(1, 6)
+    ]
+    code, resp = call(rest, "POST", "/api/db1/data/insert",
+                      {"table": "mix", "data": records})
+    assert code == 200, resp
+
+    qv = [0.2, 0.2, 0.3, 0.44]
+    # Raw dispatch: the columnar hot path returns pre-encoded bytes.
+    code, payload = rest.dispatch(
+        "POST", "/api/db1/data/query",
+        {"table": "mix", "queryField": "Embedding", "queryVector": qv,
+         "limit": 4, "withDistance": True}, {})
+    assert code == 200
+    got = json.loads(payload)["result"] if isinstance(
+        payload, (bytes, bytearray)) else payload["result"]
+
+    # Reference path: same search through dict projection (columnar off).
+    status, rows, _ = rest.db.search(
+        "db1", "mix", "Embedding", [], np.asarray(qv, dtype=np.float32),
+        4, "", True, None, columnar=False)
+    assert status.ok()
+    assert len(got) == len(rows) == 4
+    for g, r in zip(got, rows):
+        assert set(g.keys()) == set(r.keys())
+        for k, v in r.items():
+            if isinstance(v, float):
+                assert g[k] == pytest.approx(v, rel=1e-6)
+            elif isinstance(v, list) and v and isinstance(v[0], float):
+                assert g[k] == pytest.approx(v, rel=1e-6)
+            else:
+                assert g[k] == v, (k, g[k], v)
+
+
+def test_columnar_falls_back_without_native(rest, monkeypatch):
+    """With the native encoder unavailable the columnar path must fall
+    back to dict rows and still serve the request."""
+    from vectordb_tpu import fastjson
+    monkeypatch.setattr(fastjson, "_native_dumps_rows", None)
+    code, resp = call(rest, "POST", "/api/db1/schema/tables", SCHEMA)
+    assert code == 200, resp
+    code, resp = call(rest, "POST", "/api/db1/data/insert",
+                      {"table": "t", "data": RECORDS})
+    assert code == 200
+    code, resp = call(rest, "POST", "/api/db1/data/query",
+                      {"table": "t", "queryField": "Embedding",
+                       "queryVector": [0.36, 0.55, 0.47, 0.94],
+                       "limit": 2, "response": ["Doc"],
+                       "withDistance": True})
+    assert code == 200
+    assert resp["result"][0]["Doc"] == "Moscow"

@@ -325,7 +325,8 @@ class DBServer:
     def search(self, db_name: str, table_name: str, field_name: str,
                query_fields: List[str], query_vector,
                limit: int, filter_str: str = "", with_distance: bool = False,
-               facets_config: Optional[List[Dict[str, Any]]] = None
+               facets_config: Optional[List[Dict[str, Any]]] = None,
+               columnar: bool = False
                ) -> Tuple[Status, List[Dict[str, Any]], List[Any]]:
         try:
             table = self._get_table(db_name, table_name)
@@ -348,7 +349,7 @@ class DBServer:
                                        "vector field dimension."), [], [])
             rows, facets = table.search(field_name, query_fields, dim,
                                         query, limit, nodes, with_distance,
-                                        facet_executors)
+                                        facet_executors, columnar=columnar)
         except VectorDBError as e:
             return e.status, [], []
         return Status.OK(), rows, facets

@@ -21,6 +21,7 @@ from ._native_build import ensure_built
 from .logger import logger
 
 _native_dumps = None
+_native_dumps_rows = None
 if os.environ.get("VECTORDB_TPU_NATIVE", "").lower() != "off":
     try:
         # Content-hash-keyed build (never a committed binary, never an
@@ -32,6 +33,7 @@ if os.environ.get("VECTORDB_TPU_NATIVE", "").lower() != "off":
             _mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(_mod)
             _native_dumps = _mod.dumps
+            _native_dumps_rows = getattr(_mod, "dumps_rows", None)
             logger.debug("native JSON encoder loaded")
     except Exception as e:  # toolchain-optional: stdlib fallback
         logger.debug(f"native JSON encoder unavailable: {e}")
@@ -50,3 +52,17 @@ def dumps_bytes(obj: Any) -> bytes:
             # serialize through the fallback, not fail the request.
             pass
     return json.dumps(obj).encode("utf-8")
+
+
+def dumps_rows_bytes(names, kinds: str, cols, distances) -> bytes | None:
+    """JSON bytes for a result-row array, written directly from column
+    buffers by the C encoder (the reference serializes from compiled C++
+    DTOs, web_controller.hpp). Returns None when the native encoder is
+    unavailable or refuses the columns — callers fall back to the
+    dict-rows path."""
+    if _native_dumps_rows is None:
+        return None
+    try:
+        return _native_dumps_rows(names, kinds, cols, distances)
+    except (TypeError, ValueError):
+        return None

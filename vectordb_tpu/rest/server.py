@@ -304,7 +304,8 @@ class RestServer:
             status, rows, facets = self.db.search(
                 params["db"], body["table"], field, response_fields, qv,
                 int(body["limit"]), body.get("filter", ""),
-                bool(body.get("withDistance", False)), facets_config)
+                bool(body.get("withDistance", False)), facets_config,
+                columnar=not facets_config)
         elif "query" in body:
             status, rows, facets = self.db.search_by_content(
                 params["db"], body["table"], field, response_fields,
@@ -316,6 +317,17 @@ class RestServer:
 
         if not status.ok():
             return _status(self._error_code(status.code), status.message)
+        if hasattr(rows, "encode_json"):
+            # Columnar hot path: the native encoder writes the row-objects
+            # JSON straight from column buffers; the rest of the payload
+            # is a constant frame. Falls back to dict rows when the
+            # native encoder is unavailable or refuses a column.
+            encoded = rows.encode_json()
+            if encoded is not None:
+                return 200, (b'{"statusCode": 200, "message": '
+                             b'"Query search successfully.", "result": '
+                             + encoded + b"}")
+            rows = rows.to_rows()
         return 200, {"statusCode": 200,
                      "message": "Query search successfully.",
                      "result": self._project_result(rows, facets,
@@ -431,7 +443,10 @@ def create_server(port: int = 8888, db_server: Optional[DBServer] = None,
             except Exception as e:  # engine errors must not kill the server
                 logger.error(f"request failed: {e}")
                 code, payload = _status(500, str(e))
-            if isinstance(payload, str):
+            if isinstance(payload, (bytes, bytearray)):
+                data = payload  # pre-encoded JSON (columnar hot path)
+                ctype = "application/json"
+            elif isinstance(payload, str):
                 data = payload.encode("utf-8")
                 ctype = "text/plain"
             else:
