@@ -409,6 +409,43 @@ def make_runner(table, queries, valid, metric, k, batch, mode):
     return run
 
 
+def engine_slope_ms(table, queries, valid, k, batch=16, g1=4, g2=16,
+                    reps=5):
+    """Engine-side per-batch time with relay fixed costs cancelled.
+
+    Runs the grouped one-program path (the serving throughput mode, with
+    the table's tuned search config) over g1 and g2 batches of `batch`
+    queries — ONE dispatch each, so rtt, the put handshake and the drain
+    handshake appear in both timings and cancel in the slope
+    (t(g2) - t(g1)) / (g2 - g1). Query bytes differ by only ~(g2-g1) *
+    batch * D * 4 B (~100 kB), noise next to the handshakes. Returns the
+    median-of-reps slope in ms per batch."""
+    from vectordb_tpu.config import global_config
+    from vectordb_tpu.schema import MetricType
+
+    saved = global_config.query_group_size
+
+    def timed(g):
+        global_config.query_group_size = g
+        qs = queries[:batch * g]
+        table.grouped_dense_search("V", qs, valid, MetricType.EUCLIDEAN,
+                                   k, batch=batch, mask_cacheable=True)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            table.grouped_dense_search("V", qs, valid,
+                                       MetricType.EUCLIDEAN, k,
+                                       batch=batch, mask_cacheable=True)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    try:
+        t1, t2 = timed(g1), timed(g2)
+    finally:
+        global_config.query_group_size = saved
+    return max((t2 - t1) / (g2 - g1) * 1e3, 0.0)
+
+
 def make_shim(seg, graph):
     """A Table driving a pre-built segment+graph directly (no catalog/WAL);
     exercises the same batch_dense_search path as the full engine."""
@@ -655,6 +692,19 @@ def run_bench():
     log(f"latency mode (batch={lat_batch}, sequential): "
         f"p50 {p50_single_ms:.1f} ms")
 
+    # Engine-side latency (VERDICT r4 #5): p50_single_ms above is ~100%
+    # tunneled-relay rtt (calib_rtt ~27 ms vs the reference's ~0.08 ms
+    # local CPU call), so also report the ENGINE's per-batch time with
+    # the relay fixed costs cancelled: time one grouped program with G1
+    # vs G2 batch-16 groups (same upload handshake, same dispatch rtt,
+    # same drain — only the per-group kernel work differs) and take the
+    # slope. This is what a local PJRT deployment would see per batch-16
+    # call, and is directly comparable to nsg.cpp:777-812's single-query
+    # CPU walk.
+    p50_engine_ms = engine_slope_ms(table, queries, valid, k)
+    log(f"engine-side latency (grouped slope, batch=16): "
+        f"{p50_engine_ms:.2f} ms per batch")
+
     if recall < RECALL_FLOOR:
         log(f"RECALL BELOW FLOOR ({recall:.4f} < {RECALL_FLOOR}); "
             "reporting 0")
@@ -720,6 +770,7 @@ def run_bench():
         "batch_p50_ms": round(p50_ms, 1),
         "batch_p99_ms": round(p99_ms, 1),
         "p50_single_ms": round(p50_single_ms, 1),
+        "p50_engine_ms": round(p50_engine_ms, 2),
         "qps_norm_work": round(qps_norm, 1),
         "calib_work_per_pass_ms": [round(w, 1) for w in work_runs],
         "qps_runs": [round(r, 1) for r in qps_runs],
