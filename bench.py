@@ -715,7 +715,7 @@ def run_bench():
     # recall collapses at 500k (0.13). Measure THIS engine at the same
     # 100k scale so vs_baseline compares identical workloads; the 500k
     # numbers above stand as the scale headroom the reference lacks.
-    qps_100k, recall_100k = 0.0, 0.0
+    qps_100k, qps_norm_100k, recall_100k = 0.0, 0.0, 0.0
     if ref_qps and n != 100_000 and n > 100_000:
         m = 100_000
         seg2, _ = make_bench_segment(m, dim, x[:m])
@@ -745,22 +745,32 @@ def run_bench():
 
         kept2, _, _ = gated_passes(one_pass_100k)
         qps_100k = float(np.median([r[2] for r in kept2]))
-        log(f"100k comparison: {qps_100k:.0f} qps at "
+        qps_norm_100k = float(
+            np.median([r[2] * r[1] for r in kept2])) / NOMINAL_WORK_MS
+        log(f"100k comparison: {qps_100k:.0f} qps "
+            f"(norm {qps_norm_100k:.0f}) at "
             f"recall@10={recall_100k:.4f} (ref C++ 1-core: {ref_qps:.0f})")
         if recall_100k < RECALL_FLOOR:
-            qps_100k = 0.0
+            qps_100k = qps_norm_100k = 0.0
 
+    # vs_baseline tracks the relay-weather-NORMALIZED like-for-like figure
+    # (VERDICT r4 weak #1: raw per-pass QPS swings ±17% with relay
+    # weather while qps x fixed-work-time is ~invariant); the raw ratio
+    # is kept alongside as vs_baseline_raw.
     if ref_qps and qps_100k:
-        vs = qps_100k / ref_qps
+        vs = qps_norm_100k / ref_qps
+        vs_raw = qps_100k / ref_qps
     elif ref_qps:
-        vs = qps / ref_qps
+        vs = qps_norm / ref_qps
+        vs_raw = qps / ref_qps
     else:
-        vs = qps / cpu_qps if cpu_qps else 0.0
+        vs = vs_raw = qps / cpu_qps if cpu_qps else 0.0
     print(json.dumps({
         "metric": f"batched_qps_recall@10>={RECALL_FLOOR}_{n//1000}k_{dim}d",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(vs, 2),
+        "vs_baseline_raw": round(vs_raw, 2),
         "baseline": (ref_note and
                      "epsilla C++ core @100k clustered recall>=0.99, "
                      "1 CPU core (like-for-like scale)") or
@@ -775,6 +785,7 @@ def run_bench():
         "calib_work_per_pass_ms": [round(w, 1) for w in work_runs],
         "qps_runs": [round(r, 1) for r in qps_runs],
         "qps_100k_like_for_like": round(qps_100k, 1),
+        "qps_norm_100k": round(qps_norm_100k, 1),
         "recall_100k": round(recall_100k, 4),
         "ref_cpp_qps_100k_1core": round(ref_qps, 1),
         "ref_cpp_recall_at_500k": 0.1279,
