@@ -165,6 +165,18 @@ class Config:
         # ordering; "auto" applies bf16 ONLY for fields where
         # tune_search_ef measured the recall target still met with it.
         self.query_dtype = "auto"
+        # Flat-serve ("auto" | "on" | "off"): serve dense queries from a
+        # fused whole-table Pallas scan + on-device exact f32 re-rank
+        # instead of graph traversal when the table is at or below
+        # FlatServeMaxRows. The reference cuts to brute force below 512
+        # rows (vec_search_executor.hpp:28) because CPU scan cost grows
+        # linearly; on the MXU one fused bf16 scan of a 100k-row table is
+        # cheaper than a tuned beam traversal, so the cutover moves up
+        # three orders of magnitude — with near-exact recall and no
+        # tuning. "on" ignores the row gate (structural gates — Pallas
+        # tiling, survivor width — still apply); "off" never flat-serves.
+        self.flat_serve = "auto"
+        self.flat_serve_max_rows = 262144
         # Pool-SEARCH stage on/off: "auto" | "on" | "off". Measured
         # (500k x 128 and 500k x 960, 4096 queries vs exact oracle): with
         # query-time representative-cover seeding the KNN-only prune graph
@@ -251,6 +263,10 @@ class Config:
         "AutoTuneSearch": ("auto_tune_search", bool, None, False),
         "AutoTuneTargetRecall": ("auto_tune_target_recall", float,
                                  lambda v: 0.5 <= v <= 1.0, False),
+        "FlatServe": ("flat_serve", str,
+                      lambda v: v in ("auto", "on", "off"), False),
+        "FlatServeMaxRows": ("flat_serve_max_rows", int,
+                             lambda v: 0 <= v <= (1 << 31), False),
     }
 
     def update(self, cfg: Dict[str, Any]) -> Tuple[bool, bool]:
@@ -323,6 +339,8 @@ class Config:
             "QueryDtype": self.query_dtype,
             "AutoTuneSearch": self.auto_tune_search,
             "AutoTuneTargetRecall": self.auto_tune_target_recall,
+            "FlatServe": self.flat_serve,
+            "FlatServeMaxRows": self.flat_serve_max_rows,
         }
 
 

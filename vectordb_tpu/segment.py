@@ -605,6 +605,24 @@ class TableSegment:
                        self.dense_norms[field_name], self.record_number)
         return store
 
+    def device_view_f32(self, field_name: str) -> DeviceVectorStore:
+        """Float32 device mirror of a dense field — the exact re-rank view
+        for the flat-serve path (the primary store is bf16 for MXU
+        throughput; graph-indexed fields get theirs via GraphIndex
+        .table_f32). Created lazily, incrementally synced like
+        device_view; callers gate the HBM cost before asking."""
+        cache = getattr(self, "_dense_device_f32", None)
+        if cache is None:
+            cache = self._dense_device_f32 = {}
+        store = cache.get(field_name)
+        if store is None:
+            store = cache[field_name] = DeviceVectorStore(
+                self.dense_host[field_name].shape[1], "float32")
+        with self.data_lock:
+            store.sync(self.dense_host[field_name],
+                       self.dense_norms[field_name], self.record_number)
+        return store
+
     def device_column(self, name: str, capacity: int):
         """Device-resident primitive/geo column padded to `capacity`,
         cached by segment mutation version (for device-side filter masks).

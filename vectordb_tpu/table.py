@@ -587,6 +587,49 @@ class Table:
         return graph.fused_traversal(self.config.beam_traversal_degree,
                                      budget, forced=(mode == "on"))
 
+    def _flat_serve_view(self, field_name: str, n: int, batch: int,
+                         g_max: int):
+        """Gate + device views for the flat-serve path (ops/flat.
+        flat_serve_grouped): returns (store, table_f32_or_None,
+        use_pallas) when a fused whole-table scan should replace graph
+        traversal for this field, else None.
+
+        Structural gates: FlatServe config, the row cutover
+        (FlatServeMaxRows; MXU physics moves the reference's 512-row
+        brute-force boundary up ~3 orders of magnitude —
+        vec_search_executor.hpp:28), Pallas tiling (capacity and batch
+        must tile the kernel grid), a survivor-width cap (top_k past
+        ~8192 lanes is both slow and the r4 kernel-fault zone), and the
+        f32 re-rank view's HBM budget."""
+        mode = getattr(self.config, "flat_serve", "auto")
+        if mode == "off" or n <= 0 or batch % 128 != 0:
+            return None
+        if mode == "auto" and n > self.config.flat_serve_max_rows:
+            return None
+        seg = self.segment
+        store = seg.device_view(field_name)
+        import jax
+
+        from .ops import pallas_topk
+        on_tpu = jax.devices()[0].platform != "cpu"
+        use_pallas = (on_tpu and pallas_topk.supports(
+            store.capacity, store.dim_padded, batch))
+        if use_pallas:
+            fold = pallas_topk.pick_tile_c(store.dim_padded) // 128
+            if store.capacity // fold > 8192:  # survivor width cap
+                return None
+        elif store.capacity * batch * g_max > flat_ops.SINGLE_PASS_MAX_ELEMS:
+            return None  # XLA fallback would materialize a huge [GB, N]
+        if store.dtype == np.float32:
+            return store, store.buf, use_pallas
+        f32_bytes = store.capacity * store.dim_padded * 4
+        rerank = self.config.device_rerank
+        if rerank == "off" or (rerank == "auto"
+                               and f32_bytes
+                               > self.config.device_rerank_max_bytes):
+            return store, None, use_pallas  # host re-rank fallback
+        return store, seg.device_view_f32(field_name).buf, use_pallas
+
     def _field_ef(self, field_name: str, ef: Optional[int] = None) -> int:
         """Beam width for a field: explicit arg > tuned override > global
         SearchEf config."""
@@ -912,6 +955,13 @@ class Table:
             return self._grouped_sharded(sf, field_name, queries, valid,
                                          metric, k, batch, g_max,
                                          mask_cacheable, ef)
+        if (queries.shape[0] > batch and sf is None
+                and not self.config.pre_filter):
+            fs = self._flat_serve_view(field_name, n, batch, g_max)
+            if fs is not None:
+                return self._grouped_flat_serve(
+                    fs, field_name, queries, valid, metric, k, batch,
+                    g_max, mask_cacheable, filter_ctx)
         fast = (g_max > 1 and queries.shape[0] > batch
                 and sf is None
                 and graph is not None
@@ -1030,6 +1080,104 @@ class Table:
             return self._rerank_candidates(
                 field_name, queries, np.concatenate([ids_all, f_ids], axis=1),
                 metric, k_eff, q_total)
+        return ids_all, d_all
+
+    def _grouped_flat_serve(self, fs, field_name: str, queries: np.ndarray,
+                            valid: np.ndarray, metric: MetricType, k: int,
+                            batch: int, g_max: int, mask_cacheable: bool,
+                            filter_ctx: Optional["_FilterCtx"]
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """THROUGHPUT flat serving: same super-chunk upload/launch/drain
+        pipeline as the grouped graph path, but the device program is ONE
+        fused whole-table scan + exact re-rank (ops/flat.
+        flat_serve_grouped) instead of beam traversal — the adaptive
+        brute-force cutover at MXU scale (see _flat_serve_view). Filters
+        compose into the device mask exactly as on the graph path, and —
+        unlike the graph path — selectivity never degrades recall, so no
+        beam boost or selective-flat rerouting applies."""
+        import jax.numpy as jnp
+
+        from .ops import beam as beam_ops
+
+        store, tf32, use_pallas = fs
+        seg = self.segment
+        n = seg.record_number
+        n_alive = int(np.count_nonzero(valid))
+        k_eff = min(k, max(n_alive, 1))
+        dm = self._composed_device_mask(store, valid, mask_cacheable,
+                                        filter_ctx)
+        from .ops import pallas_topk
+        if use_pallas:
+            fold = pallas_topk.pick_tile_c(store.dim_padded) // 128
+            surv_w = store.capacity // fold
+        else:
+            surv_w = store.capacity
+        k_cand = min(k_eff + flat_ops.FLAT_SERVE_SLACK, surv_w)
+        out_w = k_eff if tf32 is not None else k_cand
+        q_total = queries.shape[0]
+        ids_all = np.empty((q_total, out_w), dtype=np.int64)
+        d_all = np.empty((q_total, out_w), dtype=np.float64)
+        super_chunk = batch * g_max
+
+        # Same recall-gated bf16 upload policy as the grouped graph path
+        # (scores are computed in the table dtype either way; only the
+        # f32 re-rank's near-tie ordering can shift).
+        q_dtype = np.float32
+        mode_qd = getattr(self.config, "query_dtype", "f32")
+        if (mode_qd == "bf16"
+                or (mode_qd == "auto"
+                    and self.search_qdtype_override.get(field_name)
+                    == "bf16")):
+            q_dtype = jnp.bfloat16
+
+        def _drain(h):
+            s, real, dev = h
+            packed = np.asarray(dev)  # [GB, 2w] int32, one d2h transfer
+            packed = packed.reshape(-1, packed.shape[-1])[:real]
+            d_h, ids_np = beam_ops.unpack_wire(packed, out_w)
+            ids_all[s:s + real] = ids_np
+            d_all[s:s + real] = d_h
+
+        def _upload(s):
+            qc = queries[s:s + super_chunk]
+            g = -(-qc.shape[0] // batch)
+            qp = np.zeros((g * batch, store.dim_padded), dtype=np.float32)
+            qp[: qc.shape[0], : qc.shape[1]] = qc
+            if qc.shape[0] < g * batch:  # pad with a real query (row 0)
+                qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
+            return s, qc.shape[0], jnp.asarray(qp, dtype=q_dtype)
+
+        def _launch(up):
+            s, real, qg = up
+            dev = flat_ops.flat_serve_grouped(
+                qg, store.buf, store.norms, dm, tf32, int(metric),
+                int(k_cand), int(k_eff), int(store.capacity),
+                use_pallas=use_pallas, pack_out=True)
+            return s, real, dev
+
+        _pump_super_chunks(self.config,
+                           list(range(0, q_total, super_chunk)),
+                           _upload, _launch, _drain)
+        if tf32 is None:
+            # No f32 view on device (HBM guardrail / config off): exact
+            # re-rank of the candidates on the host mirror.
+            return self._rerank_candidates(field_name, queries, ids_all,
+                                           metric, k_eff, q_total)
+        if use_pallas:
+            # Full-k guarantee: a highly selective filter can leave < k
+            # matches SURVIVING the partial-min fold (group-mates shadow
+            # each other) even when k matches exist — top up with the
+            # exact masked scan, same as the graph path.
+            per_query_valid = (ids_all >= 0).sum(axis=1)
+            if per_query_valid.min() < min(k_eff, n_alive):
+                f_ids, _ = self._flat_candidates(
+                    field_name, queries, valid, metric,
+                    min(k_eff + RERANK_SLACK, max(n_alive, 1)),
+                    mask_cacheable=mask_cacheable, filter_ctx=filter_ctx)
+                return self._rerank_candidates(
+                    field_name, queries,
+                    np.concatenate([ids_all, f_ids], axis=1),
+                    metric, k_eff, q_total)
         return ids_all, d_all
 
     def _grouped_sharded(self, sf, field_name: str, queries: np.ndarray,
