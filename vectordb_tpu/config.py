@@ -116,8 +116,11 @@ class Config:
         # measured 46 -> 34 ms/MB-put at 2 threads, 28.5 at 4. The
         # super-chunk query upload is the measured wall of the grouped
         # path at 100k (R4i), so overlapping uploads is worth ~25 ms per
-        # 2-chunk pass.
-        self.upload_threads = 2
+        # 2-chunk pass. 4 threads: ~28.5 ms/MB-put vs 34 at 2
+        # (put_micro), and the r5 steady-state sweep at 32k queries/pass
+        # measured 54.4k vs 47.6k QPS median (benchmarks/
+        # steady_state_ab.py).
+        self.upload_threads = 4
         # Result drains (the packed-int32 d2h fetch per super-chunk)
         # issued from this many background threads (0 = inline on the
         # dispatch thread). d2h transfers serialize within one issuing
