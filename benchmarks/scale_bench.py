@@ -183,11 +183,32 @@ def main():
             hits += len(set(ids[i].tolist()) & set(gt[s + i].tolist()))
     recall = hits / (n_queries * k)
 
+    # Timed passes may run MORE queries than the GT'd recall set
+    # (SCALE_NQ_TIMED): a 1-2-batch pass is mostly pipeline fill/drain
+    # (measured r5 at 100k: 34-49k QPS at 8192 queries vs 60-65k at
+    # 32768, identical kernels). Extra queries are fresh perturbations
+    # of the GT'd ones — same distribution, no GT needed (recall above
+    # covers the engine config); data/GT caches stay valid.
+    nq_timed = int(os.environ.get("SCALE_NQ_TIMED", n_queries))
+    timed_queries = queries
+    if nq_timed > n_queries:
+        reps = -(-nq_timed // n_queries)
+        rngq = np.random.default_rng(7)
+        timed_queries = np.tile(queries, (reps, 1))[:nq_timed]
+        timed_queries = (timed_queries + 0.01 * rngq.normal(
+            size=timed_queries.shape).astype(np.float32))
+        run_timed = make_runner(table, timed_queries, valid,
+                                MetricType.EUCLIDEAN, k, batch, mode)
+        run_timed()  # warm the full-size pass shapes
+    else:
+        nq_timed = n_queries
+        run_timed = run_all
+
     qps_runs, lats = [], []
     for _ in range(N_TIMED):
         t0 = time.time()
-        _, lat = run_all()
-        qps_runs.append(n_queries / (time.time() - t0))
+        _, lat = run_timed()
+        qps_runs.append(nq_timed / (time.time() - t0))
         lats.extend(lat)
     qps = float(np.median(qps_runs))
     p50_ms = float(np.percentile(lats, 50) * 1e3)
@@ -209,6 +230,7 @@ def main():
         "batch_p99_ms": round(p99_ms, 1),
         "qps_runs": [round(r, 1) for r in qps_runs],
         "n": n, "dim": dim, "n_queries": n_queries,
+        "nq_timed": nq_timed,
         "mode": mode,
         "tuned_ef": table.search_ef_override.get("V", 0),
         "tuned_iters": table.search_iters_override.get("V", 0),
