@@ -57,6 +57,32 @@ def test_mask_excludes_rows(interpret_kernels):
     assert (ids >= b).all()
 
 
+def test_second_survivor_beats_pair_collision(interpret_kernels):
+    """Two top-k rows co-located in ONE fold group must BOTH survive.
+
+    With a single survivor per group the second-best of a group is
+    shadowed — the small-table recall regression (0.9887 at 20k rows,
+    NOTES_ROUND5). Rows r and r+128 of one table tile share a strided
+    fold group (lane r mod 128 within the tile), so planting the two
+    nearest neighbors exactly there exercises the second plane.
+    """
+    rng = np.random.default_rng(3)
+    n, d = 8192, 128
+    x = rng.normal(size=(n, d)).astype(np.float32) * 10.0
+    q = rng.normal(size=(1, d)).astype(np.float32)
+    # rows 5 and 133 (= 5 + 128, same strided group) are the two closest
+    x[5] = q[0] + 0.001
+    x[133] = q[0] + 0.002
+    qp = np.broadcast_to(q, (128, d)).copy()
+    norms = (x ** 2).sum(1).astype(np.float32)
+    dists, ids = pallas_topk.fused_topk(
+        jnp.asarray(qp), jnp.asarray((qp ** 2).sum(1).astype(np.float32)),
+        jnp.int32(0), jnp.asarray(x), jnp.asarray(norms),
+        int(MetricType.EUCLIDEAN), 4, n_valid=n)
+    ids = np.asarray(ids)
+    assert ids[0, 0] == 5 and ids[0, 1] == 133, ids[0]
+
+
 def test_exclude_self(interpret_kernels):
     rng = np.random.default_rng(2)
     n, d, b = 8192, 128, 128

@@ -262,7 +262,8 @@ class Config:
         "DeviceHbmBytes": ("device_hbm_bytes", int,
                            lambda v: 0 <= v <= (1 << 44), False),
         "QueryDtype": ("query_dtype", str,
-                       lambda v: v in ("auto", "f32", "bf16"), False),
+                       lambda v: v in ("auto", "f32", "bf16", "int8"),
+                       False),
         "AutoTuneSearch": ("auto_tune_search", bool, None, False),
         "AutoTuneTargetRecall": ("auto_tune_target_recall", float,
                                  lambda v: 0.5 <= v <= 1.0, False),

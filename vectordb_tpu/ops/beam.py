@@ -377,7 +377,8 @@ def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
                         table_f32, metric: int, beam_width: int, expand: int,
                         max_iters: int, num_seeds: int, term_width: int,
                         k_cand: int, k_out: int, compact: int = 0,
-                        fused=None, scale=None, pack_out: bool = False):
+                        fused=None, scale=None, pack_out: bool = False,
+                        q_scale=None):
     """THROUGHPUT mode: lax.scan over G query batches inside ONE device
     program. Through a tunneled relay every dispatch pays a large fixed
     cost (~45 ms rtt + fetch, measured r2b) that bounded batch-2048 QPS at
@@ -404,7 +405,19 @@ def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
       paths never flush; f32 distance bits survive the reverse bitcast.
     Returns ([G, B, k] dists asc, [G, B, k] ids) — or the packed array —
     -1/inf padded.
+
+    q_scale: optional [G, B] f32 per-query dequant scales for an INT8
+      query wire (queries_g then arrives [G, B, D] int8). The poisoned
+      relay h2d runs ~34 MB/s (NOTES_ROUND5 R5j) and the query upload is
+      the only per-pass h2d, so int8 halves the dominant wire term vs
+      bf16; dequant (qi * scale, exact in f32) happens here as the
+      program prologue, after which the pipeline is identical to an f32
+      upload of the quantized values.
     """
+    if q_scale is not None:
+        queries_g = (queries_g.astype(jnp.float32)
+                     * q_scale[..., None].astype(jnp.float32))
+
     def step(carry, q):
         d, ids = beam_search_topk(q, table, norms, adjacency, rep_ids,
                                   valid, metric, beam_width, expand,

@@ -146,7 +146,8 @@ FLAT_SERVE_SLACK = 32
                                     "use_pallas", "pack_out"))
 def flat_serve_grouped(q_flat, table, norms, mask, table_f32, metric: int,
                        k_cand: int, k_out: int, n_valid: int,
-                       use_pallas: bool = True, pack_out: bool = True):
+                       use_pallas: bool = True, pack_out: bool = True,
+                       q_scale=None):
     """THROUGHPUT flat serving: a [G*B, Dp] query block against the whole
     device table in ONE program.
 
@@ -157,8 +158,10 @@ def flat_serve_grouped(q_flat, table, norms, mask, table_f32, metric: int,
     scan of a 100k-row bf16 table is CHEAPER than a tuned beam traversal
     (one [B,D]x[D,N] systolic pass vs hundreds of row gathers), so the
     cutover moves up three orders of magnitude. Recall is near-exact
-    (>= 0.998 measured; the only loss is partial-min shadowing, at most
-    one survivor per strided 64-column group) and needs NO tuning.
+    (the only loss is partial-min shadowing of a THIRD top-k candidate
+    co-located in one strided 64-column group — the kernel keeps best +
+    second-best per group, so pairwise co-location costs nothing) and
+    needs NO tuning.
 
     Pipeline (all on device):
       1. Pallas fused distance + partial-min scan (ops/pallas_topk) —
@@ -176,7 +179,12 @@ def flat_serve_grouped(q_flat, table, norms, mask, table_f32, metric: int,
     capacity bound keeps the executable stable across inserts).
     table_f32: optional [N_pad, Dp] f32 view for the exact re-rank; when
     None the k_cand survivors are returned for the host re-rank.
+    q_scale: optional [GB] f32 per-query dequant scales for an INT8
+    query wire (q_flat then arrives int8; see beam_search_grouped).
     """
+    if q_scale is not None:
+        q_flat = (q_flat.astype(jnp.float32)
+                  * q_scale[:, None].astype(jnp.float32))
     qs = q_flat.astype(table.dtype)
     if use_pallas:
         from . import pallas_topk

@@ -3,11 +3,12 @@
 The XLA path for KNN/flat scans materializes the [B, N] distance matrix in
 HBM before top-k — O(N^2 * 4) bytes of traffic that dominates graph-build
 wall clock. This kernel computes each [Bq_tile, Ct] score tile on the MXU in
-VMEM and immediately reduces groups of G adjacent columns to their (min
-value, argmin index) on the VPU, writing only [B, N/G] back to HBM — a G-fold
-traffic cut. A single cheap exact top-k over the reduced array finishes the
-selection (same approximation contract as jax.lax.approx_max_k's
-PartialReduce: at most one candidate per G-column group survives).
+VMEM and immediately reduces groups of G adjacent columns to their best and
+second-best (value, index) on the VPU, writing only [B, 2N/G] back to HBM —
+a G/2-fold traffic cut. A single cheap exact top-k over the reduced array
+finishes the selection (contract: at most TWO candidates per G-column group
+survive — like jax.lax.approx_max_k's PartialReduce but with the second
+survivor keeping pairwise co-location losses out of the recall).
 
 Replaces the reference's flat-scan SIMD kernels (distance_simd.cpp) and the
 inner distance loops of its NN-Descent/NSG build for the KNN stage.
@@ -42,7 +43,7 @@ def pick_tile_c(d: int) -> int:
 
 
 def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref, mask_ref,
-                        val_ref, idx_ref, *, metric: int,
+                        val_ref, idx_ref, val2_ref, idx2_ref, *, metric: int,
                         n_valid: int, exclude_self: bool):
     """One (query-tile, column-tile) grid cell.
 
@@ -54,6 +55,13 @@ def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref, mask_ref,
     nrm_ref: [TC, 1]   table tile squared norms
     val_ref: [TQ, TC // group] per-group min distance
     idx_ref: [TQ, TC // group] global table row of that min
+    val2_ref/idx2_ref: the per-group SECOND-best. A single survivor per
+        group loses a true top-k hit whenever two of the k co-locate in
+        one group — expected loss ~ C(k,2)/(alive_groups*k), which broke
+        the flat-serve recall contract at small tables (measured 0.9887
+        at 20k alive rows / 150k capacity). Two survivors push the loss
+        to TRIPLE collisions (~C(k,3)/groups^2, negligible at any shape
+        the gate admits) for one extra min-chain on the VPU.
     """
     j = pl.program_id(1)
     tq = q_ref.shape[0]
@@ -90,14 +98,23 @@ def _partial_min_kernel(q_ref, qn_ref, base_ref, tab_ref, nrm_ref, mask_ref,
     lane_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, (tq, lanes), 1)
     m = scores[:, :lanes]
     idx = lane_ids
+    m2 = jnp.full_like(m, jnp.inf)
+    idx2 = lane_ids
     for s in range(1, tc // lanes):
         blk = scores[:, s * lanes:(s + 1) * lanes]
         blk_ids = lane_ids + s * lanes
         better = blk < m
+        second = blk < m2
+        # New best demotes the old best to second; otherwise the block
+        # competes for the second slot only.
+        m2 = jnp.where(better, m, jnp.where(second, blk, m2))
+        idx2 = jnp.where(better, idx, jnp.where(second, blk_ids, idx2))
         idx = jnp.where(better, blk_ids, idx)
         m = jnp.minimum(m, blk)
     val_ref[:] = m
     idx_ref[:] = idx
+    val2_ref[:] = m2
+    idx2_ref[:] = idx2
 
 
 @functools.partial(
@@ -108,8 +125,10 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
                      metric: int, group: int = GROUP, n_valid: int = 0,
                      exclude_self: bool = False, tile_q: int = TILE_Q,
                      tile_c: int = 0, mask=None):
-    """[B, D] queries vs [N, D] table -> ([B, N/group] min-vals, ids).
+    """[B, D] queries vs [N, D] table -> ([B, 2*N/group] min-vals, ids).
 
+    Survivor planes are the per-group best AND second-best, concatenated
+    along axis 1 (order is irrelevant to the exact top-k that follows).
     B % tile_q == 0 and N % tile_c == 0 required (callers pad).
     mask: optional [N] f32 (0 = excluded row), fused into the scan.
     """
@@ -128,7 +147,7 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
     else:
         mask = mask.reshape(n, 1).astype(jnp_.float32)
 
-    return pl.pallas_call(
+    vals, ids, vals2, ids2 = pl.pallas_call(
         functools.partial(_partial_min_kernel, metric=metric,
                           n_valid=n_valid, exclude_self=exclude_self),
         grid=grid,
@@ -151,8 +170,14 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_q, 128), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((b, gcols), jnp.float32),
+            jax.ShapeDtypeStruct((b, gcols), jnp.int32),
             jax.ShapeDtypeStruct((b, gcols), jnp.float32),
             jax.ShapeDtypeStruct((b, gcols), jnp.int32),
         ],
@@ -161,11 +186,13 @@ def partial_min_scan(queries, q_norms, q_base, table, norms,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
             bytes_accessed=(b * d * 2 + n * d * 2 * (b // tile_q)
-                            + 2 * b * gcols * 4),
+                            + 4 * b * gcols * 4),
             transcendentals=0,
         ),
     )(queries, q_norms.reshape(b, 1), base, table,
       norms.reshape(n, 1).astype(jnp.float32), mask)
+    return (jnp.concatenate([vals, vals2], axis=1),
+            jnp.concatenate([ids, ids2], axis=1))
 
 
 def supports(n_pad: int, dim_padded: int, b: int,
@@ -183,10 +210,10 @@ def fused_topk(queries, q_norms, q_base, table, norms, metric: int, k: int,
                exclude_self: bool = False, mask=None):
     """Fused partial-min scan + exact top-k over the survivors.
 
-    Returns (dists [B, k] f32 ascending, ids [B, k] int32). At most one
-    result per G-column group (candidates co-located within a group shadow
-    each other — the approx_max_k tradeoff). Callers that need exact
-    rankings re-rank the survivors (the engine's standard f32 re-rank).
+    Returns (dists [B, k] f32 ascending, ids [B, k] int32). At most two
+    results per G-column group (a third co-located candidate shadows —
+    negligible at admitted shapes). Callers that need exact rankings
+    re-rank the survivors (the engine's standard f32 re-rank).
     """
     vals, ids = partial_min_scan(queries, q_norms, q_base, table, norms,
                                  metric, group, n_valid, exclude_self,

@@ -53,6 +53,30 @@ GRAPH_SLACK = 8
 BATCH_BUCKETS = (16, 128, 512, 2048)
 
 
+def quantize_queries_int8(qp: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-query symmetric int8 quantization for the query wire.
+
+    The poisoned relay h2d runs ~34 MB/s and the query upload is the only
+    per-pass h2d (NOTES_ROUND5 R5j), so wire bytes are the throughput
+    lever: int8 is 4x fewer than f32, 2x fewer than bf16. Per-query scale
+    = max|q| / 127 (f32), so the on-device dequant qi * scale is exact in
+    f32 and the worst-case component error is scale/2 (~0.4 % of the row
+    max — the same order as bf16's 8-bit mantissa). The per-query scale
+    is a positive constant, so candidate ORDER under IP/COSINE and the
+    -2*q.x term of EUCLIDEAN are preserved up to quantization noise; the
+    recall gate in tune_search_ef decides whether that noise is
+    acceptable, exactly like the bf16 rung.
+
+    Returns (qi int8 [B, D], scale f32 [B]); dequant = qi.astype(f32) *
+    scale[:, None] — identical arithmetic on host (tune validation) and
+    device (kernel prologue), so tuning is input-equivalent to serving.
+    """
+    a = np.abs(qp).max(axis=1)
+    scale = (np.where(a > 0, a, 1.0) / 127.0).astype(np.float32)
+    qi = np.clip(np.rint(qp / scale[:, None]), -127, 127).astype(np.int8)
+    return qi, scale
+
+
 class ColumnarRows:
     """Query result held as column buffers instead of row dicts (serving
     hot path). `encode_json()` returns the row-objects JSON bytes via the
@@ -616,7 +640,8 @@ class Table:
             store.capacity, store.dim_padded, batch))
         if use_pallas:
             fold = pallas_topk.pick_tile_c(store.dim_padded) // 128
-            if store.capacity // fold > 8192:  # survivor width cap
+            # 2x: the kernel keeps best + second-best per fold group.
+            if 2 * (store.capacity // fold) > 8192:  # survivor width cap
                 return None
         elif store.capacity * batch * g_max > flat_ops.SINGLE_PASS_MAX_ELEMS:
             return None  # XLA fallback would materialize a huge [GB, N]
@@ -629,6 +654,17 @@ class Table:
                                > self.config.device_rerank_max_bytes):
             return store, None, use_pallas  # host re-rank fallback
         return store, seg.device_view_f32(field_name).buf, use_pallas
+
+    def _query_wire(self, field_name: str) -> str:
+        """Query upload wire dtype for a field: "f32", "bf16" or "int8".
+        QueryDtype="auto" defers to the recall-gated tuned override
+        (tune_search_ef validates the reduced-precision wire against the
+        recall target before it is ever used); an explicit setting forces
+        the wire unconditionally."""
+        mode = getattr(self.config, "query_dtype", "f32")
+        if mode == "auto":
+            return self.search_qdtype_override.get(field_name, "f32")
+        return mode
 
     def _field_ef(self, field_name: str, ef: Optional[int] = None) -> int:
         """Beam width for a field: explicit arg > tuned override > global
@@ -672,8 +708,8 @@ class Table:
                         self.search_iters_override[str(k)] = int(v["iters"])
                     else:
                         self.search_iters_override.pop(str(k), None)
-                    if v.get("qdtype") == "bf16":
-                        self.search_qdtype_override[str(k)] = "bf16"
+                    if v.get("qdtype") in ("bf16", "int8"):
+                        self.search_qdtype_override[str(k)] = v["qdtype"]
                     else:
                         self.search_qdtype_override.pop(str(k), None)
                 elif int(v) > 0:  # legacy format: bare ef int
@@ -828,60 +864,68 @@ class Table:
                 self.search_iters_override[fname] = chosen[1]
             else:
                 self.search_iters_override.pop(fname, None)
-            # Validate bf16 query upload at the chosen (ef, iters):
-            # re-running with the queries pre-rounded to bf16 is input-
-            # equivalent to the grouped path's bf16 upload (the kernel
-            # casts to the table dtype either way; the host re-rank here
-            # then also sees the rounded q, matching the device re-rank).
+            # Validate reduced-precision query WIRES at the chosen
+            # (ef, iters), cheapest wire first: int8 (4x fewer upload
+            # bytes than f32), then bf16 (2x). Each candidate re-runs the
+            # search with queries pre-rounded through the wire's exact
+            # round-trip — input-equivalent to the grouped path's upload:
+            # the device program dequantizes/casts the SAME values
+            # (quantize_queries_int8 docstring). A marginal rung can pass
+            # at f32 yet fail at a reduced wire; one extra ladder rung
+            # (~1-3 ms/batch) is cheaper than 2-4x the query upload
+            # (~100-200 ms/pass through the poisoned relay, NOTES_ROUND5
+            # R5j), so each wire is also tried at the NEXT rung before
+            # falling back to the wider wire.
             qd_recall = 0.0
             self.search_qdtype_override.pop(fname, None)
             if chosen_recall >= target_recall and \
                     getattr(self.config, "query_dtype", "f32") == "auto":
                 import ml_dtypes
-                q_r = queries.astype(ml_dtypes.bfloat16).astype(np.float32)
 
-                def bf16_recall(ef_i, it_i):
+                def wire_queries(wname):
+                    if wname == "int8":
+                        qi, sc = quantize_queries_int8(queries)
+                        return qi.astype(np.float32) * sc[:, None]
+                    return queries.astype(
+                        ml_dtypes.bfloat16).astype(np.float32)
+
+                def wire_recall(q_r, ef_i, it_i):
                     ids_r, _ = self.batch_dense_search(
                         fname, q_r, valid, metric, kk, mask_cacheable=True,
                         ef=ef_i, iters=it_i)
                     return split_recall(ids_r)
 
-                qd_id, qd_ood = bf16_recall(*chosen)
-                qd_recall = min(qd_id, qd_ood)
-                if qd_recall >= target_recall:
-                    self.search_qdtype_override[fname] = "bf16"
-                    # bf16 is now the operative upload dtype: report its
-                    # measured recalls, not the f32 run's.
-                    rec_id, rec_ood = qd_id, qd_ood
-                else:
-                    # A marginal rung can pass at f32 yet fail at bf16.
-                    # One extra traversal iteration (~1-3 ms/batch) is
-                    # cheaper than doubling the query upload (~10 ms per
-                    # batch through the relay), so try the NEXT ladder
-                    # rung with bf16 before settling for f32.
-                    idx = ladder.index(chosen)
-                    if idx + 1 < len(ladder):
-                        nxt = ladder[idx + 1]
-                        n_id, n_ood = bf16_recall(*nxt)
-                        r_nxt = min(n_id, n_ood)
-                        if r_nxt >= target_recall:
-                            chosen, qd_recall = nxt, r_nxt
-                            # The operative config is now (nxt, bf16):
-                            # report ITS measured recall, not the stale
-                            # f32 figure of the rung no longer in effect.
-                            chosen_recall = r_nxt
-                            rec_id, rec_ood = n_id, n_ood
-                            tried.append({"ef": nxt[0], "iters": nxt[1],
-                                          "recall": round(r_nxt, 4),
-                                          "id_recall": round(n_id, 4),
-                                          "ood_recall": round(n_ood, 4),
-                                          "qdtype": "bf16"})
-                            self.search_ef_override[fname] = nxt[0]
-                            if nxt[1]:
-                                self.search_iters_override[fname] = nxt[1]
-                            else:
-                                self.search_iters_override.pop(fname, None)
-                            self.search_qdtype_override[fname] = "bf16"
+                idx = ladder.index(chosen)
+                nxt = ladder[idx + 1] if idx + 1 < len(ladder) else None
+                for wname in ("int8", "bf16"):
+                    q_r = wire_queries(wname)
+                    accepted = None
+                    w_id, w_ood = wire_recall(q_r, *chosen)
+                    if min(w_id, w_ood) >= target_recall:
+                        accepted = chosen
+                    elif nxt is not None:
+                        w_id, w_ood = wire_recall(q_r, *nxt)
+                        if min(w_id, w_ood) >= target_recall:
+                            accepted = nxt
+                    if accepted is None:
+                        continue
+                    # This wire is now operative: report ITS measured
+                    # recalls, not the f32 run's.
+                    qd_recall = min(w_id, w_ood)
+                    chosen, chosen_recall = accepted, qd_recall
+                    rec_id, rec_ood = w_id, w_ood
+                    self.search_ef_override[fname] = chosen[0]
+                    if chosen[1]:
+                        self.search_iters_override[fname] = chosen[1]
+                    else:
+                        self.search_iters_override.pop(fname, None)
+                    self.search_qdtype_override[fname] = wname
+                    tried.append({"ef": chosen[0], "iters": chosen[1],
+                                  "recall": round(qd_recall, 4),
+                                  "id_recall": round(w_id, 4),
+                                  "ood_recall": round(w_ood, 4),
+                                  "qdtype": wname})
+                    break
             report[fname] = {"ef": chosen[0], "iters": chosen[1],
                              "recall": round(chosen_recall, 4),
                              "id_recall": round(rec_id, 4),
@@ -889,7 +933,7 @@ class Table:
                              "target": target_recall, "tried": tried,
                              "qdtype": self.search_qdtype_override.get(
                                  fname, "f32"),
-                             "qdtype_bf16_recall": round(qd_recall, 4)}
+                             "qdtype_wire_recall": round(qd_recall, 4)}
             self._tuned_report[fname] = report[fname]
             logger.info(f"tune_search_ef {self.schema.name}.{fname}: "
                         f"ef={chosen[0]} iters={chosen[1]} "
@@ -1026,21 +1070,18 @@ class Table:
         # for a fresh 4 MB batch through the relay vs a 28 ms bare rtt),
         # so without this the upload serializes with every kernel. Two in
         # flight bounds device-side query/result buffers.
-        # Query upload dtype: bf16 halves the h2d bytes (the upload sits
-        # on the first chunk's critical path; ~45 MB/s through a tunneled
-        # relay). Traversal already scores in the table dtype and q_norms
-        # is a per-query constant (never affects candidate ORDER); only
-        # the exact re-rank's near-tie ordering can shift, so bf16 is
-        # applied ONLY when tune_search_ef measured the recall target met
-        # with it (search_qdtype_override), or forced via QueryDtype.
-        q_dtype = np.float32
-        mode_qd = getattr(self.config, "query_dtype", "f32")
-        if (mode_qd == "bf16"
-                or (mode_qd == "auto"
-                    and self.search_qdtype_override.get(field_name)
-                    == "bf16")):
-            import jax.numpy as _jnp
-            q_dtype = _jnp.bfloat16
+        # Query upload dtype: bf16 halves the h2d bytes and int8 halves
+        # them again (the upload is the dominant per-pass wire term:
+        # ~34 MB/s through the poisoned relay, NOTES_ROUND5 R5j).
+        # Traversal already scores in the table dtype and q_norms is a
+        # per-query constant (never affects candidate ORDER); only
+        # quantization noise in near-tie ordering can shift, so a reduced
+        # wire dtype is applied ONLY when tune_search_ef measured the
+        # recall target met with it (search_qdtype_override), or forced
+        # via QueryDtype. int8 rides a per-query f32 scale, dequantized
+        # as the device program's prologue (ops/beam.beam_search_grouped).
+        wire = self._query_wire(field_name)
+
         def _upload(s):
             qc = queries[s:s + super_chunk]
             g = -(-qc.shape[0] // batch)
@@ -1048,18 +1089,24 @@ class Table:
             qp[: qc.shape[0], : qc.shape[1]] = qc
             if qc.shape[0] < g * batch:  # pad with a real query (row 0)
                 qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
+            if wire == "int8":
+                qi, qsc = quantize_queries_int8(qp)
+                return s, qc.shape[0], (
+                    jnp.asarray(qi.reshape(g, batch, store.dim_padded)),
+                    jnp.asarray(qsc.reshape(g, batch)))
             qg = jnp.asarray(qp.reshape(g, batch, store.dim_padded),
-                             dtype=q_dtype)
-            return s, qc.shape[0], qg
+                             dtype=jnp.bfloat16 if wire == "bf16"
+                             else np.float32)
+            return s, qc.shape[0], (qg, None)
 
         def _launch(up):
-            s, real, qg = up
+            s, real, (qg, qsc) = up
             dev = beam_ops.beam_search_grouped(
                 qg, graph.table, graph.norms, adj, graph.rep_ids, dm, tf32,
                 int(metric), int(bw), int(self.config.beam_expand),
                 int(max_iters), 32, term, int(k_cand), int(k_eff),
                 0 if fused is not None else int(self.config.beam_compact),
-                fused=fused, scale=fscale, pack_out=True)
+                fused=fused, scale=fscale, pack_out=True, q_scale=qsc)
             return s, real, dev
 
         _pump_super_chunks(self.config,
@@ -1109,7 +1156,7 @@ class Table:
         from .ops import pallas_topk
         if use_pallas:
             fold = pallas_topk.pick_tile_c(store.dim_padded) // 128
-            surv_w = store.capacity // fold
+            surv_w = 2 * (store.capacity // fold)  # best + second per group
         else:
             surv_w = store.capacity
         k_cand = min(k_eff + flat_ops.FLAT_SERVE_SLACK, surv_w)
@@ -1119,16 +1166,10 @@ class Table:
         d_all = np.empty((q_total, out_w), dtype=np.float64)
         super_chunk = batch * g_max
 
-        # Same recall-gated bf16 upload policy as the grouped graph path
-        # (scores are computed in the table dtype either way; only the
-        # f32 re-rank's near-tie ordering can shift).
-        q_dtype = np.float32
-        mode_qd = getattr(self.config, "query_dtype", "f32")
-        if (mode_qd == "bf16"
-                or (mode_qd == "auto"
-                    and self.search_qdtype_override.get(field_name)
-                    == "bf16")):
-            q_dtype = jnp.bfloat16
+        # Same recall-gated bf16/int8 upload policy as the grouped graph
+        # path (scores are computed in the table dtype either way; only
+        # the f32 re-rank's near-tie ordering can shift).
+        wire = self._query_wire(field_name)
 
         def _drain(h):
             s, real, dev = h
@@ -1145,14 +1186,19 @@ class Table:
             qp[: qc.shape[0], : qc.shape[1]] = qc
             if qc.shape[0] < g * batch:  # pad with a real query (row 0)
                 qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
-            return s, qc.shape[0], jnp.asarray(qp, dtype=q_dtype)
+            if wire == "int8":
+                qi, qsc = quantize_queries_int8(qp)
+                return s, qc.shape[0], (jnp.asarray(qi), jnp.asarray(qsc))
+            return s, qc.shape[0], (jnp.asarray(
+                qp, dtype=jnp.bfloat16 if wire == "bf16" else np.float32),
+                None)
 
         def _launch(up):
-            s, real, qg = up
+            s, real, (qg, qsc) = up
             dev = flat_ops.flat_serve_grouped(
                 qg, store.buf, store.norms, dm, tf32, int(metric),
                 int(k_cand), int(k_eff), int(store.capacity),
-                use_pallas=use_pallas, pack_out=True)
+                use_pallas=use_pallas, pack_out=True, q_scale=qsc)
             return s, real, dev
 
         _pump_super_chunks(self.config,
