@@ -1,11 +1,12 @@
-"""int8 query wire: quantization math, grouped-path equivalence, tuning.
+"""int8 query wire: block-scale codec, grouped-path equivalence, tuning.
 
-The poisoned relay h2d (~34 MB/s after the process's first d2h fetch,
-NOTES_ROUND5 R5j) makes query-upload bytes the dominant per-pass wire
-term; the int8 wire (per-query symmetric scale, device-side dequant in
-the program prologue) quarters them vs f32. These tests pin:
-  - the host round-trip used by tune_search_ef is input-equivalent to
-    the device dequant (same f32 arithmetic);
+The poisoned relay h2d (~34 MB/s with a per-put handshake after the
+process's first d2h fetch, NOTES_ROUND5 R5j) makes query-upload bytes
+the dominant per-pass wire term; the int8 wire (ops/qwire: per-block
+scales PACKED into the same buffer — one put per super-chunk) quarters
+them vs f32. These tests pin:
+  - the packed wire layout round-trips exactly (host encode -> device
+    decode == host roundtrip simulation);
   - a forced QueryDtype=int8 grouped search stays oracle-exact on both
     the flat-serve and the graph paths;
   - tune_search_ef prefers the int8 wire when it meets the recall
@@ -16,8 +17,8 @@ import pytest
 
 import vectordb_tpu as vdb
 from vectordb_tpu.config import global_config
+from vectordb_tpu.ops import qwire
 from vectordb_tpu.schema import MetricType
-from vectordb_tpu.table import quantize_queries_int8
 
 
 @pytest.fixture(autouse=True)
@@ -49,30 +50,45 @@ def _oracle(x, q, k):
     return np.argsort(((x - q) ** 2).sum(1), kind="stable")[:k]
 
 
-def test_quantize_roundtrip_bounds():
+def test_quantize_block_bounds():
     rng = np.random.default_rng(0)
     q = rng.normal(size=(64, 128)).astype(np.float32) * 3.0
     q[5] = 0.0  # all-zero row must not divide by zero
-    qi, sc = quantize_queries_int8(q)
+    q[7, :16] = 100.0  # a hot block must not inflate other blocks' error
+    qi, sc = qwire.quantize_block_int8(q)
     assert qi.dtype == np.int8 and sc.dtype == np.float32
     assert (sc > 0).all()
-    back = qi.astype(np.float32) * sc[:, None]
-    # Componentwise error bounded by half a quantization step.
-    assert np.abs(back - q).max() <= (sc / 2 + 1e-7).max()
+    back = qwire.roundtrip_int8(q)
+    # Per-block error bound: half a quantization step of that block.
+    step = np.repeat(sc, qwire.QBLOCK, axis=1)
+    assert (np.abs(back - q) <= step / 2 + 1e-7).all()
     np.testing.assert_array_equal(back[5], 0.0)
+    # Block independence: row 7's cold blocks keep their own fine scale.
+    assert sc[7, 1:].max() < sc[7, 0] / 10
 
 
-def test_device_dequant_matches_host_roundtrip():
-    """The kernel prologue (qi.astype(f32) * scale) must be bitwise
-    identical to the host simulation tune_search_ef validates with."""
+def test_packed_wire_device_decode_matches_host():
+    """encode -> decode (the device prologue, run here via jnp on CPU)
+    must equal the host roundtrip simulation BITWISE — that identity is
+    what makes tune_search_ef's recall gate input-equivalent."""
     import jax.numpy as jnp
     rng = np.random.default_rng(1)
-    q = rng.normal(size=(16, 64)).astype(np.float32)
-    qi, sc = quantize_queries_int8(q)
-    host = qi.astype(np.float32) * sc[:, None]
-    dev = np.asarray(jnp.asarray(qi).astype(jnp.float32)
-                     * jnp.asarray(sc)[:, None])
-    np.testing.assert_array_equal(host, dev)
+    for r, dp in ((16, 64), (128, 128), (100, 256)):
+        q = (rng.normal(size=(r, dp)) * rng.uniform(0.1, 5)).astype(
+            np.float32)
+        buf = qwire.encode_int8_queries(q)
+        assert buf.shape == (r + qwire.scale_rows(r, dp), dp)
+        assert buf.dtype == np.int8
+        dev = np.asarray(qwire.decode_int8_queries(jnp.asarray(buf), r, dp))
+        np.testing.assert_array_equal(dev, qwire.roundtrip_int8(q))
+
+
+def test_roundtrip_pads_odd_dims():
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(8, 100)).astype(np.float32)  # 100 % 16 != 0
+    back = qwire.roundtrip_int8(q)
+    assert back.shape == q.shape
+    assert np.abs(back - q).max() < 0.05
 
 
 @pytest.mark.parametrize("flat_serve", ["on", "off"])
@@ -93,7 +109,7 @@ def test_forced_int8_grouped_matches_oracle(tmp_path, flat_serve):
     for i, q in enumerate(queries):
         hits += len(set(ids[i].tolist()) & set(_oracle(x, q, 10).tolist()))
         # Distances come from the dequantized query: near-exact vs the
-        # true f32 query (int8 error ~0.4% of the row max), and sorted.
+        # true f32 query (block-scale error ~0.4% of the block max).
         dd = ((x[ids[i]] - q) ** 2).sum(1)
         np.testing.assert_allclose(d[i], dd, rtol=0.05, atol=0.05)
         assert np.all(np.diff(d[i]) >= -1e-6)

@@ -372,13 +372,13 @@ def _exact_rerank_device(q_f32, table_f32, d_approx, ids, metric: int,
     jax.jit,
     static_argnames=("metric", "beam_width", "expand", "max_iters",
                      "num_seeds", "term_width", "k_cand", "k_out",
-                     "compact", "pack_out"))
+                     "compact", "pack_out", "packed_gb"))
 def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
                         table_f32, metric: int, beam_width: int, expand: int,
                         max_iters: int, num_seeds: int, term_width: int,
                         k_cand: int, k_out: int, compact: int = 0,
                         fused=None, scale=None, pack_out: bool = False,
-                        q_scale=None):
+                        packed_gb=None):
     """THROUGHPUT mode: lax.scan over G query batches inside ONE device
     program. Through a tunneled relay every dispatch pays a large fixed
     cost (~45 ms rtt + fetch, measured r2b) that bounded batch-2048 QPS at
@@ -406,17 +406,20 @@ def beam_search_grouped(queries_g, table, norms, adjacency, rep_ids, valid,
     Returns ([G, B, k] dists asc, [G, B, k] ids) — or the packed array —
     -1/inf padded.
 
-    q_scale: optional [G, B] f32 per-query dequant scales for an INT8
-      query wire (queries_g then arrives [G, B, D] int8). The poisoned
-      relay h2d runs ~34 MB/s (NOTES_ROUND5 R5j) and the query upload is
-      the only per-pass h2d, so int8 halves the dominant wire term vs
-      bf16; dequant (qi * scale, exact in f32) happens here as the
-      program prologue, after which the pipeline is identical to an f32
-      upload of the quantized values.
+    packed_gb: static (G, B) when queries_g is a PACKED int8 wire buffer
+      (ops/qwire layout: quantized queries + trailing block-scale bytes
+      in ONE array). The poisoned relay h2d runs ~34 MB/s with a large
+      per-put handshake (NOTES_ROUND5 R5j), so the int8 wire halves
+      bf16's bytes while keeping ONE put per super-chunk; decode runs
+      here as the program prologue, after which the pipeline is
+      identical to an f32 upload of the dequantized values.
     """
-    if q_scale is not None:
-        queries_g = (queries_g.astype(jnp.float32)
-                     * q_scale[..., None].astype(jnp.float32))
+    if packed_gb is not None:
+        from . import qwire
+        g, b = packed_gb
+        dp = table.shape[1]
+        queries_g = qwire.decode_int8_queries(
+            queries_g, g * b, dp).reshape(g, b, dp)
 
     def step(carry, q):
         d, ids = beam_search_topk(q, table, norms, adjacency, rep_ids,

@@ -143,11 +143,11 @@ FLAT_SERVE_SLACK = 32
 
 @functools.partial(jax.jit,
                    static_argnames=("metric", "k_cand", "k_out", "n_valid",
-                                    "use_pallas", "pack_out"))
+                                    "use_pallas", "pack_out", "packed_r"))
 def flat_serve_grouped(q_flat, table, norms, mask, table_f32, metric: int,
                        k_cand: int, k_out: int, n_valid: int,
                        use_pallas: bool = True, pack_out: bool = True,
-                       q_scale=None):
+                       packed_r=None):
     """THROUGHPUT flat serving: a [G*B, Dp] query block against the whole
     device table in ONE program.
 
@@ -179,12 +179,14 @@ def flat_serve_grouped(q_flat, table, norms, mask, table_f32, metric: int,
     capacity bound keeps the executable stable across inserts).
     table_f32: optional [N_pad, Dp] f32 view for the exact re-rank; when
     None the k_cand survivors are returned for the host re-rank.
-    q_scale: optional [GB] f32 per-query dequant scales for an INT8
-    query wire (q_flat then arrives int8; see beam_search_grouped).
+    packed_r: static query-row count when q_flat is a PACKED int8 wire
+    buffer (ops/qwire layout — one put per super-chunk; see
+    beam_search_grouped).
     """
-    if q_scale is not None:
-        q_flat = (q_flat.astype(jnp.float32)
-                  * q_scale[:, None].astype(jnp.float32))
+    if packed_r is not None:
+        from . import qwire
+        q_flat = qwire.decode_int8_queries(q_flat, packed_r,
+                                           table.shape[1])
     qs = q_flat.astype(table.dtype)
     if use_pallas:
         from . import pallas_topk

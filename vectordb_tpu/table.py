@@ -53,28 +53,10 @@ GRAPH_SLACK = 8
 BATCH_BUCKETS = (16, 128, 512, 2048)
 
 
-def quantize_queries_int8(qp: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-query symmetric int8 quantization for the query wire.
-
-    The poisoned relay h2d runs ~34 MB/s and the query upload is the only
-    per-pass h2d (NOTES_ROUND5 R5j), so wire bytes are the throughput
-    lever: int8 is 4x fewer than f32, 2x fewer than bf16. Per-query scale
-    = max|q| / 127 (f32), so the on-device dequant qi * scale is exact in
-    f32 and the worst-case component error is scale/2 (~0.4 % of the row
-    max — the same order as bf16's 8-bit mantissa). The per-query scale
-    is a positive constant, so candidate ORDER under IP/COSINE and the
-    -2*q.x term of EUCLIDEAN are preserved up to quantization noise; the
-    recall gate in tune_search_ef decides whether that noise is
-    acceptable, exactly like the bf16 rung.
-
-    Returns (qi int8 [B, D], scale f32 [B]); dequant = qi.astype(f32) *
-    scale[:, None] — identical arithmetic on host (tune validation) and
-    device (kernel prologue), so tuning is input-equivalent to serving.
-    """
-    a = np.abs(qp).max(axis=1)
-    scale = (np.where(a > 0, a, 1.0) / 127.0).astype(np.float32)
-    qi = np.clip(np.rint(qp / scale[:, None]), -127, 127).astype(np.int8)
-    return qi, scale
+# int8 query wire (ops/qwire): per-BLOCK scales packed into one h2d
+# buffer — the throughput lever against the poisoned relay's ~34 MB/s
+# h2d with per-put handshake (NOTES_ROUND5 R5j/R5k). Recall-gated by
+# tune_search_ef exactly like the bf16 rung.
 
 
 class ColumnarRows:
@@ -884,8 +866,8 @@ class Table:
 
                 def wire_queries(wname):
                     if wname == "int8":
-                        qi, sc = quantize_queries_int8(queries)
-                        return qi.astype(np.float32) * sc[:, None]
+                        from .ops import qwire
+                        return qwire.roundtrip_int8(queries)
                     return queries.astype(
                         ml_dtypes.bfloat16).astype(np.float32)
 
@@ -1090,23 +1072,22 @@ class Table:
             if qc.shape[0] < g * batch:  # pad with a real query (row 0)
                 qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
             if wire == "int8":
-                qi, qsc = quantize_queries_int8(qp)
-                return s, qc.shape[0], (
-                    jnp.asarray(qi.reshape(g, batch, store.dim_padded)),
-                    jnp.asarray(qsc.reshape(g, batch)))
+                from .ops import qwire
+                buf = qwire.encode_int8_queries(qp)
+                return s, qc.shape[0], (jnp.asarray(buf), (g, batch))
             qg = jnp.asarray(qp.reshape(g, batch, store.dim_padded),
                              dtype=jnp.bfloat16 if wire == "bf16"
                              else np.float32)
             return s, qc.shape[0], (qg, None)
 
         def _launch(up):
-            s, real, (qg, qsc) = up
+            s, real, (qg, pk) = up
             dev = beam_ops.beam_search_grouped(
                 qg, graph.table, graph.norms, adj, graph.rep_ids, dm, tf32,
                 int(metric), int(bw), int(self.config.beam_expand),
                 int(max_iters), 32, term, int(k_cand), int(k_eff),
                 0 if fused is not None else int(self.config.beam_compact),
-                fused=fused, scale=fscale, pack_out=True, q_scale=qsc)
+                fused=fused, scale=fscale, pack_out=True, packed_gb=pk)
             return s, real, dev
 
         _pump_super_chunks(self.config,
@@ -1187,18 +1168,19 @@ class Table:
             if qc.shape[0] < g * batch:  # pad with a real query (row 0)
                 qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
             if wire == "int8":
-                qi, qsc = quantize_queries_int8(qp)
-                return s, qc.shape[0], (jnp.asarray(qi), jnp.asarray(qsc))
+                from .ops import qwire
+                buf = qwire.encode_int8_queries(qp)
+                return s, qc.shape[0], (jnp.asarray(buf), qp.shape[0])
             return s, qc.shape[0], (jnp.asarray(
                 qp, dtype=jnp.bfloat16 if wire == "bf16" else np.float32),
                 None)
 
         def _launch(up):
-            s, real, (qg, qsc) = up
+            s, real, (qg, pk) = up
             dev = flat_ops.flat_serve_grouped(
                 qg, store.buf, store.norms, dm, tf32, int(metric),
                 int(k_cand), int(k_eff), int(store.capacity),
-                use_pallas=use_pallas, pack_out=True, q_scale=qsc)
+                use_pallas=use_pallas, pack_out=True, packed_r=pk)
             return s, real, dev
 
         _pump_super_chunks(self.config,
