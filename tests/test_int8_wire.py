@@ -54,14 +54,15 @@ def test_quantize_block_bounds():
     rng = np.random.default_rng(0)
     q = rng.normal(size=(64, 128)).astype(np.float32) * 3.0
     q[5] = 0.0  # all-zero row must not divide by zero
-    q[7, :16] = 100.0  # a hot block must not inflate other blocks' error
+    q[7, :qwire.QBLOCK] = 100.0  # hot block must not inflate others' error
     qi, sc = qwire.quantize_block_int8(q)
     assert qi.dtype == np.int8 and sc.dtype == np.float32
     assert (sc > 0).all()
     back = qwire.roundtrip_int8(q)
-    # Per-block error bound: half a quantization step of that block.
+    # Per-block error bound: half a quantization step of that block
+    # (plus one step of slack for the bf16 scale rounding's clip).
     step = np.repeat(sc, qwire.QBLOCK, axis=1)
-    assert (np.abs(back - q) <= step / 2 + 1e-7).all()
+    assert (np.abs(back - q) <= step + 1e-7).all()
     np.testing.assert_array_equal(back[5], 0.0)
     # Block independence: row 7's cold blocks keep their own fine scale.
     assert sc[7, 1:].max() < sc[7, 0] / 10
