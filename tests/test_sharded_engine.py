@@ -522,6 +522,41 @@ def test_sharded_grouped_one_program_per_super_chunk(tmp_path):
     np.testing.assert_allclose(d[0][: len(want)], want, rtol=1e-5)
 
 
+def test_sharded_grouped_int8_wire(tmp_path):
+    """int8 query wire on the sharded plane: the packed buffer decodes
+    inside the shard_map program and stays oracle-accurate."""
+    from vectordb_tpu.schema import MetricType
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(3000, 32)).astype(np.float32)
+    _mk_table(tmp_path)
+    _insert("t", x)
+    assert vdb.rebuild() == 0
+    table = vdb._db.databases["sdb"].tables["t"]
+    queries = x[rng.integers(0, len(x), 512)] + 0.01 * rng.normal(
+        size=(512, 32)).astype(np.float32)
+    valid = table.segment.valid_mask()
+    old_qd = global_config.query_dtype
+    old_g = global_config.query_group_size
+    try:
+        global_config.query_group_size = 2
+        global_config.query_dtype = "int8"
+        ids, d = table.grouped_dense_search(
+            "V", queries, valid, MetricType.EUCLIDEAN, 10, batch=128,
+            mask_cacheable=True)
+    finally:
+        global_config.query_dtype = old_qd
+        global_config.query_group_size = old_g
+    hits = sum(len(set(ids[i][ids[i] >= 0].tolist())
+                   & set(_oracle(x, q, 10).tolist()))
+               for i, q in enumerate(queries))
+    assert hits / (512 * 10) >= 0.97
+    # Distances are the host re-rank's EXACT f32 vs the true query.
+    q0 = queries[0]
+    want = np.sort(((x[ids[0][ids[0] >= 0]] - q0) ** 2).sum(1))
+    np.testing.assert_allclose(d[0][: len(want)], want, rtol=1e-5)
+
+
 def test_sharded_tuned_iters_ladder_applies(tmp_path):
     """tune_search_ef's (ef, iters) rungs must run (not skip) on the
     sharded plane and the chosen iters cap must reach the launch."""

@@ -415,13 +415,13 @@ def sharded_flat_query(queries, buf, norms, mask, *, mesh, metric: int,
     jax.jit,
     static_argnames=("mesh", "metric", "beam_width", "expand", "max_iters",
                      "num_seeds", "term_width", "k", "tail_start",
-                     "has_tail", "compact", "pack_out"))
+                     "has_tail", "compact", "pack_out", "packed_gb"))
 def sharded_graph_query(queries_g, buf, norms, adjacency, reps, mask, *,
                         mesh, metric: int, beam_width: int, expand: int,
                         max_iters: int, num_seeds: int, term_width: int,
                         k: int, tail_start: int, has_tail: bool,
                         compact: int = 0, fused=None, scale=None,
-                        pack_out: bool = False):
+                        pack_out: bool = False, packed_gb=None):
     """Per-shard beam search + optional flat tail over post-build slots,
     merged globally. `queries_g` is [G, B, Dp] replicated query GROUPS:
     all G batches run inside ONE shard_map program (Python-unrolled — the
@@ -439,6 +439,16 @@ def sharded_graph_query(queries_g, buf, norms, adjacency, reps, mask, *,
     gather layout (ops/beam.beam_search_kernel), here per shard. Compact
     is ignored on that path (there is no second gather to shrink)."""
     from ..ops.beam import beam_search_kernel
+
+    if packed_gb is not None:
+        # int8 query wire (ops/qwire): decode the packed buffer to
+        # replicated [G, B, Dp] f32 INSIDE this program — one upload and
+        # one dispatch per super-chunk, same as the single-chip paths.
+        from ..ops import qwire
+        g_pk, b_pk = packed_gb
+        dp = buf.shape[-1]
+        queries_g = qwire.decode_int8_queries(
+            queries_g, g_pk * b_pk, dp).reshape(g_pk, b_pk, dp)
 
     n_shards = mesh.devices.size
     in_specs = [P(), P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
@@ -915,12 +925,17 @@ class ShardedDenseField:
                        metric: MetricType, k: int, beam_width: int,
                        expand: int, term_width: int,
                        mask_version: Optional[int] = None,
-                       compact: int = 0, fused=None, iters: int = 0):
+                       compact: int = 0, fused=None, iters: int = 0,
+                       packed_gb=None):
         """[G, B, Dp] padded query groups -> ONE packed [G, B, 2k] int32
         device handle (dists bitcast in [..., :k], GLOBAL ids in
         [..., k:]): G batches per dispatch + a single-array fetch — the
         single-chip grouped throughput mode on the mesh. Graph must
-        exist; the flat tail is merged in-kernel."""
+        exist; the flat tail is merged in-kernel.
+
+        packed_gb: static (G, B) when queries_g is an int8 wire buffer
+        (ops/qwire layout) instead of [G, B, Dp] f32 — decoded inside
+        the device program, replicated like the f32 queries."""
         st = self.store
         g = self.graph
         mask_dev = self.composed_mask(valid, mask_version)
@@ -934,7 +949,8 @@ class ShardedDenseField:
             tail_start=int(g.num_rows // st.n_shards),
             has_tail=bool(tail), compact=int(compact),
             fused=None if fused is None else fused[0],
-            scale=None if fused is None else fused[1], pack_out=True)
+            scale=None if fused is None else fused[1], pack_out=True,
+            packed_gb=packed_gb)
 
     @staticmethod
     def fetch(dev) -> np.ndarray:

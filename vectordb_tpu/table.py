@@ -1260,6 +1260,8 @@ class Table:
             _, ids_np = beam_ops.unpack_wire(packed, k_cand)
             cand_all[s:s + real] = ids_np
 
+        wire = self._query_wire(field_name)
+
         def _upload(s):
             import jax.numpy as jnp
             qc = queries[s:s + super_chunk]
@@ -1268,17 +1270,22 @@ class Table:
             qp[: qc.shape[0], : qc.shape[1]] = qc
             if qc.shape[0] < g * batch:
                 qp[qc.shape[0]:, : qc.shape[1]] = qc[0]
+            if wire == "int8":
+                from .ops import qwire
+                return s, qc.shape[0], (
+                    jnp.asarray(qwire.encode_int8_queries(qp)), (g, batch))
             # Uncommitted device put: launch_grouped's jnp.asarray is a
             # no-op on it, and pjit/shard_map reshards freely.
-            return s, qc.shape[0], jnp.asarray(qp.reshape(g, batch, dp))
+            return s, qc.shape[0], (jnp.asarray(qp.reshape(g, batch, dp)),
+                                    None)
 
         def _launch(up):
-            s, real, qg = up
+            s, real, (qg, pk) = up
             dev = sf.launch_grouped(
                 qg, valid, metric, k_cand,
                 beam_width=beam, expand=self.config.beam_expand,
                 term_width=term, mask_version=ver, compact=compact,
-                fused=fused, iters=0 if it >= beam else it)
+                fused=fused, iters=0 if it >= beam else it, packed_gb=pk)
             return s, real, dev
 
         _pump_super_chunks(self.config,
