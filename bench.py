@@ -409,7 +409,7 @@ def make_runner(table, queries, valid, metric, k, batch, mode):
     return run
 
 
-def engine_slope_ms(table, queries, valid, k, batch=16, g1=4, g2=16,
+def engine_slope_ms(table, queries, valid, k, batch=2048, g1=1, g2=4,
                     reps=5):
     """Engine-side per-batch time with relay fixed costs cancelled.
 
@@ -417,9 +417,12 @@ def engine_slope_ms(table, queries, valid, k, batch=16, g1=4, g2=16,
     the table's tuned search config) over g1 and g2 batches of `batch`
     queries — ONE dispatch each, so rtt, the put handshake and the drain
     handshake appear in both timings and cancel in the slope
-    (t(g2) - t(g1)) / (g2 - g1). Query bytes differ by only ~(g2-g1) *
-    batch * D * 4 B (~100 kB), noise next to the handshakes. Returns the
-    median-of-reps slope in ms per batch."""
+    (t(g2) - t(g1)) / (g2 - g1). Measured at the serving batch (2048):
+    at tuned settings the per-batch-16 increment sits BELOW the relay's
+    ±15 ms jitter floor (r5 reported 0.00), while the 2048-batch slope
+    (~4 ms graph / ~22 ms flat, steady_state_ab) clears it. Returns the
+    median-of-reps slope in ms per `batch` queries; callers derive the
+    per-query figure."""
     from vectordb_tpu.config import global_config
     from vectordb_tpu.schema import MetricType
 
@@ -708,14 +711,15 @@ def run_bench():
     # tunneled-relay rtt (calib_rtt ~27 ms vs the reference's ~0.08 ms
     # local CPU call), so also report the ENGINE's per-batch time with
     # the relay fixed costs cancelled: time one grouped program with G1
-    # vs G2 batch-16 groups (same upload handshake, same dispatch rtt,
+    # vs G2 batch-2048 groups (same upload handshake, same dispatch rtt,
     # same drain — only the per-group kernel work differs) and take the
-    # slope. This is what a local PJRT deployment would see per batch-16
-    # call, and is directly comparable to nsg.cpp:777-812's single-query
-    # CPU walk.
+    # slope. The per-QUERY figure is what a local PJRT deployment would
+    # see per query inside a served batch, directly comparable to
+    # nsg.cpp:777-812's ~0.08 ms single-query CPU walk.
     p50_engine_ms = engine_slope_ms(table, queries, valid, k)
-    log(f"engine-side latency (grouped slope, batch=16): "
-        f"{p50_engine_ms:.2f} ms per batch")
+    engine_us_per_query = p50_engine_ms / 2048 * 1e3
+    log(f"engine-side latency (grouped slope): {p50_engine_ms:.2f} ms "
+        f"per 2048-batch = {engine_us_per_query:.2f} us/query")
 
     if recall < RECALL_FLOOR:
         log(f"RECALL BELOW FLOOR ({recall:.4f} < {RECALL_FLOOR}); "
@@ -796,6 +800,7 @@ def run_bench():
         "batch_p99_ms": round(p99_ms, 1),
         "p50_single_ms": round(p50_single_ms, 1),
         "p50_engine_ms": round(p50_engine_ms, 2),
+        "engine_us_per_query": round(engine_us_per_query, 2),
         "qps_norm_work": round(qps_norm, 1),
         "calib_work_per_pass_ms": [round(w, 1) for w in work_runs],
         "qps_runs": [round(r, 1) for r in qps_runs],
